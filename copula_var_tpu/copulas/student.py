@@ -1,0 +1,83 @@
+"""Student-t copula: density and IFM log-likelihood as fused XLA ops.
+
+Capability surface of the reference `copulas/student/`:
+  c(u) = MVT_pdf(T_nu^-1(u); Sigma, nu) / prod_i t_pdf(T_nu^-1(u_i))
+(`student/student.py:49-174`). The reference's dominant scalar hot spot —
+the elementwise `scipy.stats.t.ppf` double loop (`student.py:96-104`) — is
+replaced by the fully vectorized `ops.special.t_ppf`, so the whole density
+is one fused tensor program.
+
+Non-finite guard parity: the reference zeroes both the MVT pdf and the
+univariate pdfs when any transformed coordinate is non-finite
+(`student.py:128-131,165-168`), making the ratio NaN (0/0). We reproduce
+exactly that NaN so downstream `nan_to_num` handling
+(`garch_integration_function.py:43-51`) behaves identically."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from copula_var_tpu.copulas.common import (
+    PENALTY,
+    corr_matrix_from_params,
+    is_positive_definite,
+)
+from copula_var_tpu.ops.special import t_ppf
+
+
+def copula_density(u, nu, corr):
+    """Student-t copula density for u of shape (..., d)
+    (`student.py:49-79`)."""
+    u = jnp.asarray(u)
+    corr = jnp.asarray(corr)
+    d = corr.shape[-1]
+    nu = jnp.asarray(nu, dtype=u.dtype)
+    x = t_ppf(u, nu)
+    finite = jnp.all(jnp.isfinite(x), axis=-1)
+    xs = jnp.where(finite[..., None], x, 0.0)
+
+    # Cholesky-based quadratic form/determinant: LU-based inv/slogdet do
+    # not compile for f64 on TPU (see gaussian._chol_quad_logdet).
+    L = jnp.linalg.cholesky(corr)
+    flat = xs.reshape(-1, d)
+    y = jax.scipy.linalg.solve_triangular(L, flat.T, lower=True)
+    quad = jnp.sum(y * y, axis=0).reshape(xs.shape[:-1])
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+
+    log_mvt = (
+        gammaln((nu + d) / 2.0)
+        - gammaln(nu / 2.0)
+        - (d / 2.0) * jnp.log(nu * jnp.pi)
+        - 0.5 * logdet
+        - ((nu + d) / 2.0) * jnp.log1p(quad / nu)
+    )
+    log_uni = (
+        gammaln((nu + 1.0) / 2.0)
+        - gammaln(nu / 2.0)
+        - 0.5 * jnp.log(nu * jnp.pi)
+        - ((nu + 1.0) / 2.0) * jnp.log1p(xs * xs / nu)
+    )
+    ratio = jnp.exp(log_mvt - jnp.sum(log_uni, axis=-1))
+    # reference: 0/0 -> NaN when any coordinate is non-finite
+    return jnp.where(finite, ratio, jnp.nan)
+
+
+def ifm_log_likelihood(marginals, densities, nu, corr):
+    """IFM log-likelihood: sum log f_i + sum log c (no floor for Student;
+    `student/inference_for_margins.py:38-55`)."""
+    c = copula_density(marginals, nu, corr)
+    return jnp.sum(jnp.log(jnp.asarray(densities))) + jnp.sum(jnp.log(c))
+
+
+def negative_log_likelihood(params, marginals, densities, dim: int):
+    """Penalized NLL over packed (nu, corr_params)
+    (`student/opti.py:34-64`)."""
+    params = jnp.asarray(params)
+    nu = params[0]
+    corr = corr_matrix_from_params(params[1:], dim)
+    ok = is_positive_definite(corr) & jnp.all(jnp.isfinite(corr))
+    safe = jnp.where(ok, corr, jnp.eye(dim, dtype=corr.dtype))
+    nll = -ifm_log_likelihood(marginals, densities, nu, safe)
+    return jnp.where(ok, nll, PENALTY)

@@ -1,3 +1,3 @@
-from copula_var_tpu.models import garch
+from copula_var_tpu.models import garch, msm, ukf
 
-__all__ = ["garch"]
+__all__ = ["garch", "msm", "ukf"]
