@@ -1,0 +1,465 @@
+"""Backtest orchestrator: model adapters, VaR solver, and the 3x3 factory.
+
+Re-architecture of the reference's L4 + L6 + L7 layers
+(`utils/model_estimation/`, `utils/calc_var_class.py`, `utils/factory.py`):
+
+  * Model adapters fit per-asset volatility models, produce in-sample
+    marginals/densities for the IFM copula fit, and precompute the
+    per-day integration inputs — with every per-window model run expressed
+    as `vmap(scan)` over the (T, N, dim) rolling-window tensor instead of
+    the reference's per-date Python loops + dict caches
+    (`msm_estimation.py:139-202`, `garch_estimation.py:190-231`).
+  * The VaR solve reproduces the reference's 3-stage bracket + incremental
+    CDF bookkeeping + whole-array bisection (`calc_var_class.py:95-309`)
+    as a host loop around ONE jitted batched quadrature call per iteration
+    (bounds dedup is unnecessary: the masked dense engine is fixed-shape
+    per day, so all T days evaluate in a single vmap).
+  * The factory covers the full 3 models x 3 copulas matrix. Defect fixed
+    + documented: the reference returns PlackettCopulaVaR for
+    gaussian + mean_reverting (`factory.py:22-23`); here every pair maps
+    to its own combination.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from copula_var_tpu.copulas import fit as copula_fit
+from copula_var_tpu.data.returns import ReturnsData
+from copula_var_tpu.models import fit as model_fit
+from copula_var_tpu.models import garch as garch_mod
+from copula_var_tpu.models import msm as msm_mod
+from copula_var_tpu.models import ukf as ukf_mod
+from copula_var_tpu.ops.grids import garch_grid, msm_grid
+from copula_var_tpu.ops.quadrature import (
+    CopulaSpec,
+    garch_integrals,
+    msm_integrals,
+)
+from copula_var_tpu.ops.special import norm_cdf, norm_pdf
+
+VOL_STATE_ROUND_TOL = 1e-6  # `msm_estimation.py:204-248`
+
+
+# ---------------------------------------------------------------------------
+# Model adapters
+# ---------------------------------------------------------------------------
+
+
+class MsmIntegrationInputs(NamedTuple):
+    x: np.ndarray  # (n,)
+    dx: np.ndarray  # (n,)
+    densities: np.ndarray  # (dim, q, n)
+    unique_vols: np.ndarray  # (dim, q)
+    forecasts_by_states: np.ndarray  # (T, dim, q)
+    forecast_combos: np.ndarray  # (T, q^dim)
+
+
+class GarchIntegrationInputs(NamedTuple):
+    x: np.ndarray  # (n,)
+    dx: np.ndarray  # (n,)
+    forecast_vols: np.ndarray  # (T, dim)
+
+
+class MsmAdapter:
+    """MSM estimation pipeline (`utils/model_estimation/model/
+    msm_estimation.py`). `k` is carried explicitly — the reference's
+    k-recovery `int(sqrt(2^k))` (`msm_estimation.py:125`) only works for
+    k in {2, 4} and is a documented defect we do not reproduce."""
+
+    name = "msm"
+
+    def __init__(self, k: int = 4, basin_iter: int = 100, seed: int = 0):
+        self.k = k
+        self.basin_iter = basin_iter
+        self.seed = seed
+
+    def fit(self, in_sample: np.ndarray):
+        return [
+            model_fit.fit_msm(
+                in_sample[:, i], self.k, basin_iter=self.basin_iter,
+                seed=self.seed + i,
+            )
+            for i in range(in_sample.shape[1])
+        ]
+
+    def marginals_densities(self, in_sample: np.ndarray, fits):
+        """Stacked (N-1, dim) marginals/densities (`msm_estimation.py:
+        55-120`; the length drop is the reference's alignment shift)."""
+        mcols, dcols = [], []
+        for i, f in enumerate(fits):
+            r = jnp.asarray(in_sample[:, i])
+            marg, _, _ = msm_mod.marginals(self.k, f.m_0, f.sigma, f.b, f.gamma, r)
+            dens = msm_mod.densities(self.k, f.m_0, f.sigma, f.b, f.gamma, r)
+            mcols.append(np.asarray(marg))
+            dcols.append(np.asarray(dens))
+        return np.stack(mcols, axis=1), np.stack(dcols, axis=1)
+
+    def integration_inputs(self, windows: np.ndarray, fits, num_points: int):
+        """Per-day forecast state distributions for all T windows
+        (vmap over T; `msm_estimation.py:139-202`), collapsed to unique vol
+        levels (`sum_forecast_by_state`, `:204-248`), densities on the MSM
+        grid (`compute_normal_densities`, `:282-330`), and joint combo
+        probabilities in ij order (`create_vol_combinations` /
+        `compute_forecast_combinations`, `:368-418`)."""
+        T, N, dim = windows.shape
+        k = self.k
+        fc_list, vol_list = [], []
+        for i, f in enumerate(fits):
+            w = jnp.asarray(windows[:, :, i])
+            fc = msm_mod.forecast_windows(k, f.m_0, f.sigma, f.b, f.gamma, w)
+            fc_list.append(np.asarray(fc))  # (T, 2^k)
+            vol_list.append(np.asarray(msm_mod.vol_states(k, f.m_0, f.sigma)))
+        forecasts_array = np.stack(fc_list, axis=0)  # (dim, T, 2^k)
+        vol_state_array = np.stack(vol_list, axis=0)  # (dim, 2^k)
+
+        # collapse to unique (rounded) vol levels per dim
+        fbs_per_dim, uniq_per_dim = [], []
+        for i in range(dim):
+            rounded = np.round(vol_state_array[i] / VOL_STATE_ROUND_TOL) * VOL_STATE_ROUND_TOL
+            uniq, inv = np.unique(rounded, return_inverse=True)
+            q = len(uniq)
+            summed = np.zeros((T, q))
+            np.add.at(summed.T, inv, forecasts_array[i].T)
+            fbs_per_dim.append(summed)
+            uniq_per_dim.append(uniq)
+        q = max(len(u) for u in uniq_per_dim)
+        if any(len(u) != q for u in uniq_per_dim):
+            # pad with zero-probability states to a common q (the reference
+            # would crash on ragged uniques; padding is the dense fix)
+            for i in range(dim):
+                pad = q - len(uniq_per_dim[i])
+                if pad:
+                    uniq_per_dim[i] = np.concatenate(
+                        [uniq_per_dim[i], np.full(pad, uniq_per_dim[i][-1])]
+                    )
+                    fbs_per_dim[i] = np.pad(fbs_per_dim[i], ((0, 0), (0, pad)))
+        unique_vols = np.stack(uniq_per_dim, axis=0)  # (dim, q)
+        fbs = np.stack(fbs_per_dim, axis=1)  # (T, dim, q)
+
+        x, dx = msm_grid(num_points)
+        densities = np.asarray(
+            norm_pdf(x[None, None, :], std=unique_vols[:, :, None])
+        )  # (dim, q, n)
+
+        # joint combo probabilities, ij order over dims
+        combos = fbs[:, 0, :]
+        for d in range(1, dim):
+            combos = combos[:, :, None] * fbs[:, d, None, :].reshape(T, 1, q)
+            combos = combos.reshape(T, -1)
+        return MsmIntegrationInputs(x, dx, densities, unique_vols, fbs, combos)
+
+    def integrals(self, bounds, inputs: MsmIntegrationInputs, spec, weights):
+        return msm_integrals(
+            jnp.asarray(bounds),
+            jnp.asarray(inputs.forecasts_by_states),
+            jnp.asarray(inputs.forecast_combos),
+            jnp.asarray(inputs.x),
+            jnp.asarray(inputs.dx),
+            jnp.asarray(inputs.densities),
+            jnp.asarray(inputs.unique_vols),
+            jnp.asarray(weights),
+            spec,
+        )
+
+
+class GarchAdapter:
+    """GARCH estimation pipeline (`garch_estimation.py`). The reference's
+    forecast-cache key mismatch ('forecasts_states' written, 'forecasts'
+    read — KeyError on any hit, `garch_estimation.py:211-221`) is obsolete
+    here: all T windows are forecast in one vmap."""
+
+    name = "garch"
+
+    def __init__(self, p_max: int = 3, q_max: int = 3, newton_max_iter: int = 200):
+        self.p_max = p_max
+        self.q_max = q_max
+        self.newton_max_iter = newton_max_iter
+
+    def fit(self, in_sample: np.ndarray):
+        return [
+            model_fit.fit_garch(
+                in_sample[:, i], p_max=self.p_max, q_max=self.q_max,
+                max_iter=self.newton_max_iter,
+            )
+            for i in range(in_sample.shape[1])
+        ]
+
+    def marginals_densities(self, in_sample: np.ndarray, fits):
+        """marginals = Phi(eps_t), densities = phi(eps_t)
+        (`garch_estimation.py:56-119`)."""
+        mcols, dcols = [], []
+        for i, f in enumerate(fits):
+            eps = garch_mod.standardized_residuals(
+                jnp.asarray(in_sample[:, i]), f.omega, f.alpha, f.beta
+            )
+            mcols.append(np.asarray(norm_cdf(eps)))
+            dcols.append(np.asarray(norm_pdf(eps)))
+        return np.stack(mcols, axis=1), np.stack(dcols, axis=1)
+
+    def integration_inputs(self, windows: np.ndarray, fits, num_points: int):
+        T, N, dim = windows.shape
+        cols = []
+        for i, f in enumerate(fits):
+            w = jnp.asarray(windows[:, :, i])
+            fv = garch_mod.forecast_vol_windows(w, f.omega, jnp.asarray(f.alpha), jnp.asarray(f.beta))
+            cols.append(np.asarray(fv))
+        x, dx = garch_grid(num_points)
+        return GarchIntegrationInputs(x, dx, np.stack(cols, axis=1))
+
+    def integrals(self, bounds, inputs: GarchIntegrationInputs, spec, weights):
+        return garch_integrals(
+            jnp.asarray(bounds),
+            jnp.asarray(inputs.forecast_vols),
+            jnp.asarray(inputs.x),
+            jnp.asarray(inputs.dx),
+            jnp.asarray(weights),
+            spec,
+        )
+
+
+class MeanRevertingAdapter(GarchAdapter):
+    """UKF mean-reverting pipeline (`mean_reverting_estimation.py`): same
+    integrand family as GARCH (single forecast vol per day,
+    `mean_reverting_estimation.py:8,244-252`), different model fit,
+    residuals, and forecasts."""
+
+    name = "mean_reverting"
+
+    def __init__(self, em_max_iter: int = 200, seed: int = 0):
+        self.em_max_iter = em_max_iter
+        self.seed = seed
+
+    def fit(self, in_sample: np.ndarray):
+        # fixed initial guess a=0.99, l=0.5, q=0.1
+        # (`mean_reverting_estimation.py:41-47`)
+        return [
+            model_fit.fit_ukf_em(
+                in_sample[:, i], a0=0.99, l0=0.5, q0=0.1,
+                max_iter=self.em_max_iter, seed=self.seed + i,
+            )
+            for i in range(in_sample.shape[1])
+        ]
+
+    def marginals_densities(self, in_sample: np.ndarray, fits):
+        """eps_t from the UKF vol path (`mean_reverting_estimation.py:
+        95-106`)."""
+        mcols, dcols = [], []
+        for i, f in enumerate(fits):
+            eps = ukf_mod.standardized_residuals(
+                jnp.asarray(in_sample[:, i]), f.a, f.l, f.q
+            )
+            mcols.append(np.asarray(norm_cdf(eps)))
+            dcols.append(np.asarray(norm_pdf(eps)))
+        return np.stack(mcols, axis=1), np.stack(dcols, axis=1)
+
+    def integration_inputs(self, windows: np.ndarray, fits, num_points: int):
+        T, N, dim = windows.shape
+        cols = []
+        for i, f in enumerate(fits):
+            w = jnp.asarray(windows[:, :, i])
+            fv = ukf_mod.forecast_vol_windows(w, f.a, f.l, f.q)
+            cols.append(np.asarray(fv))
+        x, dx = garch_grid(num_points)
+        return GarchIntegrationInputs(x, dx, np.stack(cols, axis=1))
+
+
+# ---------------------------------------------------------------------------
+# Copula fitters -> CopulaSpec
+# ---------------------------------------------------------------------------
+
+_COPULA_FITTERS = {
+    "gaussian": lambda U, D: copula_fit.fit_gaussian(U, D),
+    "student": lambda U, D: copula_fit.fit_student(U, D),
+    "plackett": lambda U, D: copula_fit.fit_plackett(U, D),
+}
+
+
+def _copula_spec(kind: str, fit_result) -> CopulaSpec:
+    if kind == "gaussian":
+        return CopulaSpec("gaussian", (jnp.asarray(fit_result.corr_matrix),))
+    if kind == "student":
+        return CopulaSpec(
+            "student", (fit_result.nu, jnp.asarray(fit_result.corr_matrix))
+        )
+    if kind == "plackett":
+        return CopulaSpec("plackett", (fit_result.theta,))
+    raise ValueError(f"unknown copula: {kind}")
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class VaRBacktest:
+    """End-to-end out-of-sample VaR backtest (`calc_var_class.py:8-93`).
+
+    data: ReturnsData; adapter: a model adapter; copula: copula kind.
+    After construction: fitted model params, IFM copula fit, and the
+    precomputed integration inputs are available as attributes.
+    """
+
+    data: ReturnsData
+    adapter: object
+    copula: str
+    num_points: int = 100
+
+    def __post_init__(self):
+        t0 = time.time()
+        in_sample = self.data.in_sample
+        self.model_fits = self.adapter.fit(in_sample)
+        self.marginals, self.densities = self.adapter.marginals_densities(
+            in_sample, self.model_fits
+        )
+        self.copula_fit = _COPULA_FITTERS[self.copula](
+            self.marginals, self.densities
+        )
+        self.copula_spec = _copula_spec(self.copula, self.copula_fit)
+        self.integration_inputs = self.adapter.integration_inputs(
+            self.data.rolling_windows(), self.model_fits, self.num_points
+        )
+        self.prep_seconds = time.time() - t0
+
+    # -- CDF evaluator ----------------------------------------------------
+
+    def compute_integral(self, bounds: np.ndarray) -> np.ndarray:
+        """(T,) integrals over per-day [lower, upper] slabs
+        (`calc_var_class.py:179-212`; the reference's bounds dedup is
+        unnecessary under the fixed-shape vmap engine)."""
+        out = self.adapter.integrals(
+            bounds, self.integration_inputs, self.copula_spec,
+            self.data.weights,
+        )
+        return np.asarray(out)
+
+    @staticmethod
+    def adjust_integral(new_result, prev_results, bounds, prev_upper):
+        """Incremental CDF bookkeeping (`calc_var_class.py:214-248`):
+        add the slab when its lower edge continues the previous upper
+        bound, else subtract it."""
+        add = bounds[:, 0] == prev_upper
+        return np.where(add, prev_results + new_result, prev_results - new_result)
+
+    # -- VaR solve --------------------------------------------------------
+
+    def calc_var(self, obj_var=0.05, first_guess=-3.0, second_guess=(-3.5, -2.0),
+                 tolerance=1e-6, verbose=False):
+        """3-stage VaR solve (`calc_var_class.py:95-177,250-309`), exact
+        logic: initial slab [-100, first_guess], one refinement slab, then
+        whole-array bisection to `tolerance`, + ptf_mean."""
+        T = self.data.out_sample_n
+        min_var_value, max_var_value = -7.5, 0.0
+
+        t0 = time.time()
+        lower, upper = -100.0, first_guess
+        bounds = np.column_stack((np.full(T, lower), np.full(T, upper)))
+        results = self.compute_integral(bounds)
+
+        new_lower = np.where(results >= obj_var, second_guess[0], first_guess)
+        new_upper = np.where(results < obj_var, second_guess[1], first_guess)
+        bounds = np.column_stack((new_lower, new_upper))
+        # prev_upper anchors where the tracked CDF sits entering bisection:
+        # second_guess[0] for the subtract group (F(-3) >= obj), else
+        # second_guess[1] (the add group's CDF is at its new upper bound).
+        # DEFECT FIXED: the reference uses first_guess for the add group
+        # (`calc_var_class.py:134`), so days with F(second_guess[1]) <
+        # obj_var subtract their first bisection slab instead of adding it
+        # (result 2F(u)-F(mid)) and converge to a wrong VaR.
+        prev_upper = np.where(
+            new_lower == second_guess[0], second_guess[0], second_guess[1]
+        )
+        new_result = self.compute_integral(bounds)
+        result_current = self.adjust_integral(
+            new_result, results, bounds, np.full(T, upper)
+        )
+        upper = bounds[:, 1]
+
+        bis = np.empty((T, 2))
+        hi_mask = result_current > obj_var
+        bis[hi_mask, 0] = min_var_value
+        bis[hi_mask, 1] = second_guess[0]
+        m = (result_current < obj_var) & (upper == first_guess)
+        bis[m, 0] = second_guess[0]
+        bis[m, 1] = first_guess
+        m = (result_current < obj_var) & (upper == second_guess[1])
+        bis[m, 0] = second_guess[1]
+        bis[m, 1] = max_var_value
+        m = (result_current > obj_var) & (upper == second_guess[1])
+        bis[m, 0] = first_guess
+        bis[m, 1] = second_guess[1]
+
+        upper = bis[:, 1]
+        upper_stack = ~np.isin(upper, list(second_guess))
+
+        final = self._bisection(
+            obj_var, bis, result_current, upper_stack, prev_upper, tolerance,
+            verbose,
+        )
+        self.solve_seconds = time.time() - t0
+        return final + self.data.ptf_mean
+
+    def _bisection(self, obj_var, bisection_bounds, prev_result, upper_stack,
+                   prev_upper, tolerance=1e-6, verbose=False):
+        """Vectorized whole-array bisection (`calc_var_class.py:250-309`)."""
+        lower = bisection_bounds[:, 0].copy()
+        upper = bisection_bounds[:, 1].copy()
+        it = 0
+        while np.any(upper - lower > tolerance):
+            mid = (lower + upper) / 2.0
+            bounds = np.where(
+                upper_stack[:, None],
+                np.column_stack((lower, mid)),
+                np.column_stack((mid, upper)),
+            )
+            mid_result = self.compute_integral(bounds)
+            result_current = self.adjust_integral(
+                mid_result, prev_result, bounds, prev_upper
+            )
+            if np.all(result_current == 0):
+                break
+            upper_stack = result_current < obj_var
+            lower = np.where(~upper_stack, lower, mid)
+            upper = np.where(upper_stack, upper, mid)
+            prev_result = result_current
+            prev_upper = mid
+            it += 1
+            if verbose:
+                print(f"bisection iter {it}: gap {np.max(upper - lower):.2e}")
+        return (lower + upper) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# Factory (`utils/factory.py`)
+# ---------------------------------------------------------------------------
+
+_ADAPTERS = {
+    "msm": MsmAdapter,
+    "garch": GarchAdapter,
+    "mean_reverting": MeanRevertingAdapter,
+}
+
+
+def create_var_backtest(
+    data: ReturnsData,
+    estimation_type: str,
+    copula_type: str,
+    num_points: int = 100,
+    **adapter_kwargs,
+) -> VaRBacktest:
+    """3 models x 3 copulas factory (`factory.py:10-31`). Every pair maps
+    to its own combination — the reference's gaussian + mean_reverting ->
+    Plackett mismap (`factory.py:22-23`) is fixed, not reproduced."""
+    if estimation_type not in _ADAPTERS:
+        raise ValueError(f"Unsupported estimation type: {estimation_type}")
+    if copula_type not in _COPULA_FITTERS:
+        raise ValueError(f"Unsupported copula type: {copula_type}")
+    adapter = _ADAPTERS[estimation_type](**adapter_kwargs)
+    return VaRBacktest(data, adapter, copula_type, num_points)

@@ -1,0 +1,189 @@
+"""IFM copula fitting: jitted losses + host-side L-BFGS-B schedules.
+
+Reproduces the reference optimizers' staged schedules exactly:
+  * Gaussian: single L-BFGS-B over packed correlations, x0 = 0.5, bounds
+    +-0.99 (`copulas/gaussian/opti.py:79-128`).
+  * Student-t: stage 1 — optimize correlations for each nu in
+    linspace(2.1, 30, 10); stage 2 — fix the best correlations and optimize
+    nu in [2.01, 50] from x0 = 10 (`copulas/student/opti.py:87-184`).
+  * Plackett: L-BFGS-B multi-start over theta in linspace(0.5, 50, 10),
+    bound theta >= 0.1 (`copulas/plackett/opti.py:44-97`).
+
+TPU-native twist: the negative log-likelihoods are jitted JAX functions and
+L-BFGS-B receives exact gradients from `jax.value_and_grad` (the reference
+relies on scipy's finite differences around a Python/numba loss). The loss
+device code is shared with the quadrature engine's copula kernels.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.optimize import minimize
+
+from copula_var_tpu.copulas import gaussian, plackett, student
+
+NU_GRID = np.linspace(2.1, 30, 10)  # `student/opti.py:9`
+THETA_GRID = np.linspace(0.5, 50, 10)  # `plackett/opti.py:66`
+
+
+class GaussianFit(NamedTuple):
+    corr_matrix: np.ndarray
+    nll: float
+    packed_params: np.ndarray  # upper-triangle rho vector
+
+
+class StudentFit(NamedTuple):
+    nu: float
+    corr_matrix: np.ndarray
+    nll: float
+    packed_params: np.ndarray  # [nu, rho...]
+
+
+class PlackettFit(NamedTuple):
+    theta: float
+    nll: float
+    packed_params: np.ndarray  # [theta]
+
+
+def _scipy_fun(jitted_value_and_grad):
+    def fun(x):
+        v, g = jitted_value_and_grad(jnp.asarray(x))
+        v = float(v)
+        g = np.asarray(g, dtype=float)
+        if not np.isfinite(v):
+            return 1e10, np.zeros_like(g)
+        return v, np.nan_to_num(g)
+
+    return fun
+
+
+def fit_gaussian(marginals, densities, tol=1e-9, max_iter=5000) -> GaussianFit:
+    marginals = jnp.asarray(marginals)
+    densities = jnp.asarray(densities)
+    dim = marginals.shape[1]
+    n_par = dim * (dim - 1) // 2
+
+    vag = jax.jit(
+        jax.value_and_grad(
+            lambda p: gaussian.negative_log_likelihood(
+                p, marginals, densities, dim
+            )
+        )
+    )
+    res = minimize(
+        _scipy_fun(vag),
+        x0=np.full(n_par, 0.5),
+        jac=True,
+        method="L-BFGS-B",
+        bounds=[(-0.99, 0.99)] * n_par,
+        tol=tol,
+        options={"maxiter": max_iter},
+    )
+    corr = np.eye(dim)
+    iu = np.tril_indices(dim, k=-1)
+    corr[iu] = res.x
+    corr[(iu[1], iu[0])] = res.x
+    packed = corr[np.triu_indices(dim, k=1)]
+    nll = float(vag(jnp.asarray(res.x))[0])
+    return GaussianFit(corr, nll, packed)
+
+
+def fit_student(marginals, densities, nu_values=None, tol=1e-9, max_iter=5000) -> StudentFit:
+    marginals = jnp.asarray(marginals)
+    densities = jnp.asarray(densities)
+    dim = marginals.shape[1]
+    n_par = dim * (dim - 1) // 2
+    if nu_values is None:
+        nu_values = NU_GRID
+
+    nll_full = jax.jit(
+        lambda p: student.negative_log_likelihood(p, marginals, densities, dim)
+    )
+
+    # Stage 1: correlations per fixed nu
+    best_nll, best_corr_params = np.inf, np.full(n_par, 0.5)
+    for nu in nu_values:
+        vag_corr = jax.jit(
+            jax.value_and_grad(
+                lambda c, nu=float(nu): student.negative_log_likelihood_fixed_nu(
+                    c, nu, marginals, densities, dim
+                )
+            )
+        )
+        res = minimize(
+            _scipy_fun(vag_corr),
+            x0=np.full(n_par, 0.5),
+            jac=True,
+            method="L-BFGS-B",
+            bounds=[(-0.99, 0.99)] * n_par,
+            tol=tol,
+            options={"maxiter": max_iter},
+        )
+        nll = float(nll_full(jnp.asarray(np.concatenate(([nu], res.x)))))
+        if nll < best_nll:
+            best_nll, best_corr_params = nll, res.x
+
+    # Stage 2: nu with best correlations, x0 = 10. JAX's betainc has no
+    # derivative w.r.t. its shape parameter (nu/2 inside t_ppf), so this
+    # 1-D solve uses scipy's finite differences on the jitted loss — the
+    # reference's gradient mode throughout (`student/opti.py:149-171`).
+    nll_nu = jax.jit(
+        lambda v: student.negative_log_likelihood(
+            jnp.concatenate([v, jnp.asarray(best_corr_params)]),
+            marginals,
+            densities,
+            dim,
+        )
+    )
+
+    def fun_nu(x):
+        v = float(nll_nu(jnp.asarray(x)))
+        return v if np.isfinite(v) else 1e10
+
+    res_nu = minimize(
+        fun_nu,
+        x0=[10.0],
+        method="L-BFGS-B",
+        bounds=[(2.01, 50.0)],
+        tol=tol,
+        options={"maxiter": max_iter},
+    )
+    nu_opt = float(res_nu.x[0])
+    corr = np.eye(dim)
+    iu = np.tril_indices(dim, k=-1)
+    corr[iu] = best_corr_params
+    corr[(iu[1], iu[0])] = best_corr_params
+    final_nll = float(nll_full(jnp.asarray(np.concatenate(([nu_opt], best_corr_params)))))
+    packed = np.concatenate(([nu_opt], corr[np.triu_indices(dim, k=1)]))
+    return StudentFit(nu_opt, corr, final_nll, packed)
+
+
+def fit_plackett(marginals, densities, theta_range=None, tol=1e-9, max_iter=5000) -> PlackettFit:
+    marginals = jnp.asarray(marginals)
+    densities = jnp.asarray(densities)
+    if theta_range is None:
+        theta_range = THETA_GRID
+
+    vag = jax.jit(
+        jax.value_and_grad(
+            lambda t: plackett.negative_log_likelihood(t[0], marginals, densities)
+        )
+    )
+    best_nll, best_theta = np.inf, None
+    for t0 in theta_range:
+        res = minimize(
+            _scipy_fun(vag),
+            x0=[float(t0)],
+            jac=True,
+            method="L-BFGS-B",
+            bounds=[(0.1, None)],
+            tol=tol,
+            options={"maxiter": max_iter},
+        )
+        if res.fun < best_nll:
+            best_nll, best_theta = float(res.fun), float(res.x[0])
+    return PlackettFit(best_theta, best_nll, np.array([best_theta]))

@@ -75,8 +75,19 @@ def negative_log_likelihood(params, marginals, densities, dim: int):
     """Penalized NLL over packed (nu, corr_params)
     (`student/opti.py:34-64`)."""
     params = jnp.asarray(params)
-    nu = params[0]
-    corr = corr_matrix_from_params(params[1:], dim)
+    return negative_log_likelihood_fixed_nu(
+        params[1:], params[0], marginals, densities, dim
+    )
+
+
+def negative_log_likelihood_fixed_nu(corr_params, nu, marginals, densities, dim: int):
+    """Penalized NLL over corr_params with nu held out of the traced vector.
+
+    Differentiable w.r.t. corr_params even though JAX's betainc (inside
+    t_ppf) has no derivative rule for its shape parameter: pass a plain
+    float nu and the ppf transform stays constant under the trace — the
+    loss used by the stage-1 IFM schedule (`student/opti.py:116-147`)."""
+    corr = corr_matrix_from_params(corr_params, dim)
     ok = is_positive_definite(corr) & jnp.all(jnp.isfinite(corr))
     safe = jnp.where(ok, corr, jnp.eye(dim, dtype=corr.dtype))
     nll = -ifm_log_likelihood(marginals, densities, nu, safe)

@@ -1,0 +1,391 @@
+"""In-sample model-parameter optimizers (the reference's L1-opt layer).
+
+  * GARCH: Newton-Raphson with BIC model selection over p, q in 1..3
+    (`garch/opti.py:89-181`). TPU-native twist: exact gradients/Hessians of
+    the jitted scan log-likelihood via `jax.grad`/`jax.hessian` replace the
+    reference's O(n^2) finite-difference stencils; projection heuristics
+    (renormalize when sum(params[1:]) > 1, floor at eps + 1e-7) and the
+    1e10 constraint penalty are reproduced.
+  * MSM: basin hopping with sigma closed-form from the sample variance
+    (`markov_switching_multifractal/opti.py:25-139`). TPU-native twist: the
+    10 b-grid starts run as ONE vmapped likelihood batch per hop iteration
+    — replacing ProcessPoolExecutor(max_workers=8) — with per-start step
+    adaptation (x0.9 / x1.1, patience 10) and near-bound reinitialization.
+    Defect fixed + documented: the reference selects the start with the
+    MINIMUM final log-likelihood (`opti.py:125-128` compares the raw LL
+    with `<` against +inf), i.e. the worst fit; we select the maximum.
+  * UKF: EM with OLS/moment M-steps and random-perturbation restarts
+    (`kalman_mean_reverting/optimize.py:28-167`), driving the jitted scan
+    filter.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from copula_var_tpu.models import garch as garch_mod
+from copula_var_tpu.models import msm as msm_mod
+from copula_var_tpu.models import ukf as ukf_mod
+
+# ---------------------------------------------------------------------------
+# GARCH
+# ---------------------------------------------------------------------------
+
+
+class GarchFit(NamedTuple):
+    p: int
+    q: int
+    omega: float
+    alpha: np.ndarray
+    beta: np.ndarray
+    nll: float
+    bic: float
+    params: np.ndarray  # packed [omega, alpha..., beta...]
+
+
+def _garch_nll_fns(returns, p, q):
+    returns = jnp.asarray(returns)
+
+    def nll(params):
+        omega = params[0]
+        alpha = params[1 : p + 1]
+        beta = params[p + 1 :]
+        ok = jnp.sum(params[1:]) < 1.0
+        ll = garch_mod.log_likelihood(returns, omega, alpha, beta)
+        return jnp.where(ok, -ll, 1e10)
+
+    return (
+        jax.jit(nll),
+        jax.jit(jax.grad(nll)),
+        jax.jit(jax.hessian(nll)),
+    )
+
+
+def fit_garch(
+    returns,
+    p_max: int = 3,
+    q_max: int = 3,
+    tol: float = 1e-10,
+    max_iter: int = 1000,
+    eps: float = 1e-5,
+) -> GarchFit:
+    """BIC-selected GARCH(p, q) fit (`garch/opti.py:89-181`)."""
+    returns = np.asarray(returns, dtype=float)
+    n_obs = len(returns)
+    best: Optional[GarchFit] = None
+    for p in range(1, p_max + 1):
+        for q in range(1, q_max + 1):
+            ab = 0.5 / (p + q)
+            f, g, h = _garch_nll_fns(returns, p, q)
+            # Multi-start: the reference's single init (`opti.py:103-104`)
+            # frequently lands in the constant-variance local minimum; a
+            # persistence-style init (high beta) and a low-omega init cost
+            # three cheap jitted solves and dominate it.
+            var = float(np.var(returns))
+            inits = [
+                np.array([0.1] + [ab] * (p + q)),
+                np.array(
+                    [0.05 * var] + [0.1 / p] * p + [0.85 / q] * q
+                ),
+                np.array([0.01 * var] + [0.05 / p] * p + [0.9 / q] * q),
+            ]
+            x_best, nll_best = None, np.inf
+            for x in inits:
+                x = _newton_garch(x, f, g, h, max_iter, tol, eps)
+                nll_x = float(f(x))
+                if nll_x < nll_best:
+                    x_best, nll_best = x, nll_x
+            x = x_best
+            nll = nll_best
+            num_params = 1 + p + q
+            bic = 2.0 * nll + num_params * np.log(n_obs)
+            if best is None or bic < best.bic:
+                best = GarchFit(
+                    p, q, float(x[0]), x[1 : p + 1].copy(), x[p + 1 :].copy(),
+                    nll, bic, x.copy(),
+                )
+    return best
+
+
+def _newton_garch(x, f, g, h, max_iter, tol, eps):
+    for _ in range(max_iter):
+        grad = np.asarray(g(x))
+        hess = np.asarray(h(x))
+        if not np.all(np.isfinite(hess)):
+            break
+        delta = -np.linalg.pinv(hess) @ grad
+        # Backtracking line search: the reference's raw Newton step
+        # (`opti.py:154-156`) can jump into the sum >= 1 penalty
+        # region and stall there with zero gradients; halving the
+        # step until the NLL does not increase keeps the iteration
+        # inside the feasible basin (capability fix, documented).
+        f_cur = float(f(x))
+        t = 1.0
+        x_new = x + delta
+        while float(f(np.maximum(x_new, eps + 1e-7))) > f_cur and t > 1e-8:
+            t *= 0.5
+            x_new = x + t * delta
+        x = x_new
+        s = np.sum(x[1:])
+        if s > 1:
+            x[1:] = x[1:] / s  # renormalize (`opti.py:158-162`)
+        x = np.maximum(x, eps + 1e-7)  # positivity floor (`:165`)
+        if np.linalg.norm(t * delta) < tol:
+            break
+    return x
+
+
+# ---------------------------------------------------------------------------
+# MSM
+# ---------------------------------------------------------------------------
+
+
+class MsmFit(NamedTuple):
+    m_0: float
+    b: float
+    gamma: float
+    sigma: float
+    log_likelihood: float
+
+
+MSM_BOUNDS = np.array([[0.2, 0.8], [1.0, 50.0], [0.05, 0.95]])  # `opti.py:113`
+
+
+def estimate_sigma(sample_variance, m_0, k):
+    """Closed-form sigma given m_0 (`opti.py:25-27`).
+
+    Parity note: this profile assumes vol = sigma * prod(m) (second moment
+    (m_0^2 - 2 m_0 + 2)^k), but the generator/filter use
+    vol = sigma * sqrt(prod(m)) whose second moment is 1 — so the implied
+    sigma is biased low and the (m_0, b, gamma) optimum shifts to
+    compensate. Reproduced as-is: the fitted parameters feed the VaR
+    pipeline and must match the reference's behavior.
+    """
+    factor = (m_0**2 - 2 * m_0 + 2) ** (k / 2)
+    return np.sqrt(sample_variance) / factor
+
+
+def fit_msm(
+    returns,
+    k: int,
+    basin_iter: int = 100,
+    step_size: float = 0.2,
+    b_values=None,
+    gamma_weight: float = 0.0,
+    b_weight: float = 0.0,
+    seed: int = 0,
+) -> MsmFit:
+    """Basin-hopping MLE over (m_0, b, gamma), sigma closed-form.
+
+    All b-grid starts advance in lockstep: one vmapped likelihood evaluation
+    per hop iteration on-device (`opti.py:121-126`'s process pool becomes a
+    batch axis).
+    """
+    returns = np.asarray(returns, dtype=float)
+    if b_values is None:
+        b_values = np.linspace(1.0, 50.0, 10)  # `opti.py:21`
+    n_starts = len(b_values)
+    sample_var = float(np.var(returns))
+    n = len(returns)
+    rng = np.random.default_rng(seed)
+    r_dev = jnp.asarray(returns)
+
+    @jax.jit
+    def batch_nll(params):  # params (S, 3) = [m_0, b, gamma]
+        m0, b, gm = params[:, 0], params[:, 1], params[:, 2]
+        factor = (m0**2 - 2 * m0 + 2) ** (k / 2)
+        sigma = jnp.sqrt(sample_var) / factor
+        ll = msm_mod.log_likelihood_batch(k, m0, sigma, b, gm, r_dev)
+        reg = gamma_weight * n * (gm - 0.5) ** 2 + b_weight * n * (1.0 / b) ** 2
+        return -ll + reg
+
+    lo, hi = MSM_BOUNDS[:, 0], MSM_BOUNDS[:, 1]
+    cur = np.tile(np.array([0.5, 10.0, 0.5]), (n_starts, 1))
+    cur[:, 1] = b_values
+    cur_nll = np.asarray(batch_nll(jnp.asarray(cur)))
+    steps = np.full(n_starts, step_size)
+    stall = np.zeros(n_starts, dtype=int)
+    patience = 10
+
+    for _ in range(basin_iter):
+        noise = rng.standard_normal((n_starts, 3))
+        prop = np.clip(cur + noise * steps[:, None] * (hi - lo)[None, :], lo, hi)
+        prop_nll = np.asarray(batch_nll(jnp.asarray(prop)))
+        better = prop_nll < cur_nll
+        cur = np.where(better[:, None], prop, cur)
+        cur_nll = np.where(better, prop_nll, cur_nll)
+        steps = np.where(better, steps * 0.9, steps)
+        stall = np.where(better, 0, stall + 1)
+        hit = stall >= patience
+        if np.any(hit):
+            steps = np.where(hit, steps * 1.1, steps)
+            stall = np.where(hit, 0, stall)
+            # reinitialize parameters sitting near a bound (`opti.py:29-36`)
+            span = hi - lo
+            near = (cur <= lo + 0.01 * span) | (cur >= hi - 0.01 * span)
+            near &= hit[:, None]
+            if near.any():
+                fresh = rng.uniform(lo + 0.1 * span, hi - 0.1 * span, cur.shape)
+                cur = np.where(near, fresh, cur)
+                cur_nll = np.asarray(batch_nll(jnp.asarray(cur)))
+
+    # Gradient polish (TPU-native addition): the MSM likelihood is smooth in
+    # (m_0, b, gamma), so finish the top starts with L-BFGS-B on exact JAX
+    # gradients — the reference's pure random search stops ~100+ LL points
+    # short of the optimum at basin_iter=100.
+    from scipy.optimize import minimize as _sp_minimize
+
+    def _single_nll(p):
+        m0, b, gm = p[0], p[1], p[2]
+        factor = (m0**2 - 2 * m0 + 2) ** (k / 2)
+        sigma = jnp.sqrt(sample_var) / factor
+        ll = msm_mod.log_likelihood(k, m0, sigma, b, gm, r_dev)
+        reg = gamma_weight * n * (gm - 0.5) ** 2 + b_weight * n * (1.0 / b) ** 2
+        return -ll + reg
+
+    vag = jax.jit(jax.value_and_grad(_single_nll))
+
+    def _sp_fun(xv):
+        v, gr = vag(jnp.asarray(xv))
+        v = float(v)
+        if not np.isfinite(v):
+            return 1e10, np.zeros(3)
+        return v, np.nan_to_num(np.asarray(gr, dtype=float))
+
+    order = np.argsort(cur_nll)[:3]
+    for i in order:
+        res = _sp_minimize(
+            _sp_fun, x0=cur[i], jac=True, method="L-BFGS-B",
+            bounds=[tuple(b) for b in MSM_BOUNDS],
+        )
+        if res.fun < cur_nll[i]:
+            cur[i] = res.x
+            cur_nll[i] = res.fun
+
+    # final true log-likelihood (no regularization), best start by MAX LL
+    # (the reference's min-selection at `opti.py:125-128` is a defect)
+    final_ll = -np.asarray(batch_nll(jnp.asarray(cur))) if (
+        gamma_weight == 0 and b_weight == 0
+    ) else np.array(
+        [
+            float(
+                msm_mod.log_likelihood(
+                    k, cur[i, 0], estimate_sigma(sample_var, cur[i, 0], k),
+                    cur[i, 1], cur[i, 2], r_dev,
+                )
+            )
+            for i in range(n_starts)
+        ]
+    )
+    i = int(np.argmax(final_ll))
+    m0, b, gm = cur[i]
+    return MsmFit(float(m0), float(b), float(gm),
+                  float(estimate_sigma(sample_var, m0, k)), float(final_ll[i]))
+
+
+# ---------------------------------------------------------------------------
+# UKF mean-reverting
+# ---------------------------------------------------------------------------
+
+
+class UkfFit(NamedTuple):
+    a: float
+    l: float
+    q: float
+    log_likelihood: float
+
+
+def fit_ukf_em(
+    returns,
+    a0: float = 0.99,
+    l0: float = 0.5,
+    q0: float = 0.1,
+    max_iter: int = 1000,
+    tol: float = 1e-6,
+    perturb_scale: float = 0.05,
+    restart_attempts: int = 5,
+    seed: int = 0,
+) -> UkfFit:
+    """EM over (a, l, q) (`kalman_mean_reverting/optimize.py:78-167`):
+    E-step = UKF run with init (l, q); M-step: q = std(state) sqrt(1-a^2),
+    l = q^2 / (2 (1-a^2)), a by OLS on the state autoregression clipped to
+    [0.5, 0.99]; random-perturbation restarts on failure / stall.
+
+    Converges in practice long before max_iter; like the reference, the
+    loop runs up to max_iter but we add an early exit after the convergence
+    + restart sweep finds no improvement (the reference burns the remaining
+    iterations re-confirming the same optimum).
+    """
+    returns = np.asarray(returns, dtype=float)
+    rng = np.random.default_rng(seed)
+    r_dev = jnp.asarray(returns)
+
+    @jax.jit
+    def run_filter(a, l, q):
+        means, _, ll, _, valid = ukf_mod.filter_series(r_dev, a, l, q)
+        return means, ll, valid
+
+    def e_step(params):
+        a, l, q = params
+        means, ll, valid = run_filter(a, l, q)
+        return np.asarray(means), float(ll), bool(valid)
+
+    def perturb(params):
+        p = params.copy()
+        while True:
+            p[0] = np.clip(
+                p[0] + rng.uniform(-perturb_scale, perturb_scale),
+                0.5,
+                0.999999,
+            )
+            state, ll, valid = e_step(p)
+            if valid:
+                break
+        a = p[0]
+        q = float(np.std(state) * np.sqrt(1 - a**2))
+        l = float(q**2 / (2 * (1 - a**2)))
+        return np.array([a, l, q])
+
+    params = np.array([a0, l0, q0], dtype=float)
+    best_ll, best_params = -np.inf, params.copy()
+
+    for _ in range(max_iter):
+        state, ll, valid = e_step(params)
+        if not valid:
+            params = perturb(params)
+            continue
+        if abs(ll - best_ll) < tol:
+            if ll > best_ll:
+                best_ll, best_params = ll, params.copy()
+            improved = False
+            for _ in range(restart_attempts):
+                cand = perturb(best_params.copy())
+                _, cll, cvalid = e_step(cand)
+                if cvalid and cll > best_ll:
+                    best_ll, best_params, improved = cll, cand.copy(), True
+            if not improved:
+                break
+            params = best_params.copy()
+            continue
+        if ll > best_ll:
+            best_ll, best_params = ll, params.copy()
+        a = params[0]
+        q_new = float(np.std(state) * np.sqrt(1 - a**2))
+        l_new = float(q_new**2 / (2 * (1 - a**2)))
+        shifted = state - a * l_new
+        denom = float(np.sum(shifted[:-1] ** 2))
+        a_ols = float(np.sum(shifted[:-1] * shifted[1:]) / denom) if denom else 0.01
+        a_new = float(np.clip(a_ols, 0.5, 0.99))
+        if params[0] == a_new:
+            params = perturb(best_params.copy())
+        else:
+            params = np.array([a_new, l_new, q_new])
+
+    return UkfFit(
+        float(best_params[0]), float(best_params[1]), float(best_params[2]),
+        float(best_ll),
+    )
