@@ -1,0 +1,87 @@
+"""Benchmark: joint-density grid integrations/sec on the BASELINE problem.
+
+Problem size (BASELINE.md §3, from the reference's `main.py:25-69`):
+2 assets, T = 500 out-of-sample days, num_points = 100 (10^4 grid points
+per day), MSM k = 4 (q = 5 unique vol levels, 25 state combinations),
+Student-t copula — the north-star "sharded quadrature kernel"
+(SURVEY.md §3.2). Each "integral" is one day's joint-density quadrature
+over the masked tensor-product grid.
+
+vs_baseline: the reference's `calculate_result_for_i`
+(`utils/calc_integral/calc_integral.py:122-171`) measured on this machine
+at 5.42 integrals/s single-core (pure-Python mode; numba is not in this
+image — its `@njit` kernels are not the bottleneck here, the elementwise
+scipy `t.ppf` loop is, and that is pure scipy either way). Scaled x32 for
+a full joblib node (`n_jobs=-1`, `calc_integral.py:211`) -> 173 int/s,
+a deliberately generous CPU baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+REF_NODE_INTEGRALS_PER_SEC = 5.42 * 32  # measured 2026-08-17, see docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from copula_var_tpu.ops.grids import msm_grid
+    from copula_var_tpu.ops.quadrature import CopulaSpec, msm_integrals
+
+    rng = np.random.default_rng(0)
+    dim, q, n, T = 2, 5, 100, 500
+
+    uvols = np.sort(rng.uniform(0.4, 1.8, size=(dim, q)), axis=1)
+    x, dx = msm_grid(n)
+    dens = np.exp(-0.5 * (x[None, None, :] / uvols[:, :, None]) ** 2) / (
+        np.sqrt(2 * np.pi) * uvols[:, :, None]
+    )
+    fbs = rng.uniform(0.1, 1.0, size=(T, dim, q))
+    fbs /= fbs.sum(axis=2, keepdims=True)
+    fcombos = np.einsum("ti,tj->tij", fbs[:, 0], fbs[:, 1]).reshape(T, -1)
+    bounds = np.column_stack(
+        [np.full(T, -100.0), rng.uniform(-4.0, -1.0, size=T)]
+    )
+    corr = np.array([[1.0, 0.45], [0.45, 1.0]])
+    spec = CopulaSpec("student", (6.0, corr))
+    w = np.array([0.5, 0.5])
+
+    args = [
+        jnp.asarray(a)
+        for a in (bounds, fbs, fcombos, x, dx, dens, uvols, w)
+    ]
+
+    # warm-up (compile)
+    msm_integrals(*args, spec).block_until_ready()
+
+    # Pipelined throughput: dispatch all reps, then block on EVERY output
+    # (blocking only the last can return before earlier executions finish
+    # on the async remote backend and wildly overstate the rate).
+    reps = 10
+    t0 = time.time()
+    outs = [msm_integrals(*args, spec) for _ in range(reps)]
+    for o in outs:
+        o.block_until_ready()
+    dt = (time.time() - t0) / reps
+
+    rate = T / dt
+    print(
+        json.dumps(
+            {
+                "metric": "msm_student_grid_integrals_per_sec",
+                "value": round(rate, 1),
+                "unit": "integrals/s/chip",
+                "vs_baseline": round(rate / REF_NODE_INTEGRALS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

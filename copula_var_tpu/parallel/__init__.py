@@ -1,0 +1,13 @@
+from copula_var_tpu.parallel.mesh import make_mesh
+from copula_var_tpu.parallel.quadrature import (
+    sharded_msm_step,
+    sharded_garch_step,
+    grid_sharded_garch_integrals,
+)
+
+__all__ = [
+    "make_mesh",
+    "sharded_msm_step",
+    "sharded_garch_step",
+    "grid_sharded_garch_integrals",
+]

@@ -1,0 +1,110 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (conftest forces
+XLA_FLAGS=--xla_force_host_platform_device_count=8): day sharding, grid
+sharding with psum, and the driver contract in __graft_entry__."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from copula_var_tpu.ops.grids import garch_grid, msm_grid
+from copula_var_tpu.ops.quadrature import (
+    CopulaSpec,
+    garch_integrals,
+    msm_integrals,
+)
+from copula_var_tpu.parallel import (
+    grid_sharded_garch_integrals,
+    make_mesh,
+    sharded_garch_step,
+    sharded_msm_step,
+)
+
+CORR = np.array([[1.0, 0.45], [0.45, 1.0]])
+
+
+def _msm_problem(rng, T=16, n=24, q=3):
+    uvols = np.sort(rng.uniform(0.5, 1.5, size=(2, q)), axis=1)
+    x, dx = msm_grid(n)
+    dens = np.exp(-0.5 * (x[None, None, :] / uvols[:, :, None]) ** 2) / (
+        np.sqrt(2 * np.pi) * uvols[:, :, None]
+    )
+    fbs = rng.uniform(0.1, 1.0, size=(T, 2, q))
+    fbs /= fbs.sum(axis=2, keepdims=True)
+    fcombos = np.einsum("ti,tj->tij", fbs[:, 0], fbs[:, 1]).reshape(T, -1)
+    bounds = np.column_stack([np.full(T, -100.0), rng.uniform(-4, -1, T)])
+    return bounds, fbs, fcombos, x, dx, dens, uvols
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_msm_matches_single_device(rng):
+    mesh = make_mesh(n_devices=8)
+    bounds, fbs, fcombos, x, dx, dens, uvols = _msm_problem(rng)
+    w = np.array([0.5, 0.5])
+    spec = CopulaSpec("student", (6.0, jnp.asarray(CORR)))
+    out, mean_stat = sharded_msm_step(
+        mesh, bounds, fbs, fcombos, x, dx, dens, uvols, w, spec
+    )
+    want = msm_integrals(bounds, fbs, fcombos, x, dx, dens, uvols, w, spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-10)
+    np.testing.assert_allclose(
+        float(mean_stat), float(np.mean(np.asarray(want))), rtol=1e-10
+    )
+
+
+def test_sharded_garch_matches_single_device(rng):
+    mesh = make_mesh(n_devices=4)
+    T = 12
+    x, dx = garch_grid(32)
+    fv = rng.uniform(0.7, 1.5, size=(T, 2))
+    bounds = np.column_stack([np.full(T, -100.0), rng.uniform(-4, -1, T)])
+    w = np.array([0.5, 0.5])
+    spec = CopulaSpec("gaussian", (jnp.asarray(CORR),))
+    out = sharded_garch_step(mesh, bounds, fv, x, dx, w, spec)
+    want = garch_integrals(bounds, fv, x, dx, w, spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-10)
+
+
+@pytest.mark.parametrize("copula", ["gaussian", "student", "plackett"])
+def test_grid_sharded_psum_matches_dense(rng, copula):
+    mesh = make_mesh(n_devices=8, axis_names=("grid",))
+    T = 6
+    x, dx = garch_grid(32)  # 32 % 8 == 0
+    fv = rng.uniform(0.7, 1.5, size=(T, 2))
+    bounds = np.column_stack([np.full(T, -100.0), rng.uniform(-4, -1, T)])
+    w = np.array([0.5, 0.5])
+    if copula == "gaussian":
+        spec = CopulaSpec("gaussian", (jnp.asarray(CORR),))
+    elif copula == "student":
+        spec = CopulaSpec("student", (6.0, jnp.asarray(CORR)))
+    else:
+        spec = CopulaSpec("plackett", (3.0,))
+    out = grid_sharded_garch_integrals(mesh, bounds, fv, x, dx, w, spec)
+    want = garch_integrals(bounds, fv, x, dx, w, spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-9)
+
+
+def test_grid_sharding_requires_divisibility(rng):
+    mesh = make_mesh(n_devices=8, axis_names=("grid",))
+    x, dx = garch_grid(30)  # 30 % 8 != 0
+    with pytest.raises(ValueError):
+        grid_sharded_garch_integrals(
+            mesh, np.zeros((2, 2)), np.ones((2, 2)), x, dx,
+            np.array([0.5, 0.5]), CopulaSpec("plackett", (3.0,)),
+        )
+
+
+def test_graft_entry_contract():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out)))
+    ge.dryrun_multichip(8)
