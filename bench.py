@@ -60,15 +60,25 @@ def main():
     # warm-up (compile)
     msm_integrals(*args, spec).block_until_ready()
 
-    # Pipelined throughput: dispatch all reps, then block on EVERY output
-    # (blocking only the last can return before earlier executions finish
-    # on the async remote backend and wildly overstate the rate).
-    reps = 10
+    # Most-conservative throughput methodology: every rep gets DISTINCT
+    # bounds (remote backends may memoize identical executions), and every
+    # rep's output is materialized on the host (np.asarray) before the
+    # clock stops — async dispatch cannot overstate the rate.
+    reps = 5
+    rep_bounds = [
+        jnp.asarray(
+            np.column_stack(
+                [np.full(T, -100.0), rng.uniform(-4.0, -1.0, size=T)]
+            )
+        )
+        for _ in range(reps)
+    ]
     t0 = time.time()
-    outs = [msm_integrals(*args, spec) for _ in range(reps)]
-    for o in outs:
-        o.block_until_ready()
+    acc = 0.0
+    for b in rep_bounds:
+        acc += float(np.sum(np.asarray(msm_integrals(b, *args[1:], spec))))
     dt = (time.time() - t0) / reps
+    assert np.isfinite(acc)
 
     rate = T / dt
     print(

@@ -168,6 +168,23 @@ class MsmAdapter:
             spec,
         )
 
+    def day_tensors(self, inputs: MsmIntegrationInputs, spec):
+        from copula_var_tpu.ops.quadrature import msm_day_tensors
+
+        return msm_day_tensors(
+            inputs.forecasts_by_states, inputs.x, inputs.unique_vols, spec
+        )
+
+    def integrals_cached(self, bounds, tensors, inputs, weights):
+        from copula_var_tpu.ops.quadrature import msm_integrals_cached
+
+        return msm_integrals_cached(
+            jnp.asarray(bounds), tensors,
+            jnp.asarray(inputs.forecast_combos), jnp.asarray(inputs.x),
+            jnp.asarray(inputs.dx), jnp.asarray(inputs.densities),
+            jnp.asarray(weights),
+        )
+
 
 class GarchAdapter:
     """GARCH estimation pipeline (`garch_estimation.py`). The reference's
@@ -221,6 +238,19 @@ class GarchAdapter:
             jnp.asarray(inputs.dx),
             jnp.asarray(weights),
             spec,
+        )
+
+    def day_tensors(self, inputs: GarchIntegrationInputs, spec):
+        from copula_var_tpu.ops.quadrature import garch_day_tensors
+
+        return garch_day_tensors(inputs.forecast_vols, inputs.x, spec)
+
+    def integrals_cached(self, bounds, tensors, inputs, weights):
+        from copula_var_tpu.ops.quadrature import garch_integrals_cached
+
+        return garch_integrals_cached(
+            jnp.asarray(bounds), tensors, jnp.asarray(inputs.x),
+            jnp.asarray(inputs.dx), jnp.asarray(weights),
         )
 
 
@@ -333,11 +363,26 @@ class VaRBacktest:
     def compute_integral(self, bounds: np.ndarray) -> np.ndarray:
         """(T,) integrals over per-day [lower, upper] slabs
         (`calc_var_class.py:179-212`; the reference's bounds dedup is
-        unnecessary under the fixed-shape vmap engine)."""
-        out = self.adapter.integrals(
-            bounds, self.integration_inputs, self.copula_spec,
-            self.data.weights,
-        )
+        unnecessary under the fixed-shape vmap engine).
+
+        Fast path (dim == 2): the per-day copula-density grids are
+        bounds-invariant, so they are built once and every subsequent
+        sweep — ~24 per VaR solve — is just a masked MXU sandwich.
+        """
+        if self.data.dim == 2:
+            if getattr(self, "_day_tensors", None) is None:
+                self._day_tensors = self.adapter.day_tensors(
+                    self.integration_inputs, self.copula_spec
+                )
+            out = self.adapter.integrals_cached(
+                bounds, self._day_tensors, self.integration_inputs,
+                self.data.weights,
+            )
+        else:
+            out = self.adapter.integrals(
+                bounds, self.integration_inputs, self.copula_spec,
+                self.data.weights,
+            )
         return np.asarray(out)
 
     @staticmethod

@@ -1,0 +1,115 @@
+"""Pallas TPU kernel: fused masked-sandwich quadrature (cached fast path).
+
+One program per out-of-sample day. The (n, n) cached day tensor streams
+HBM -> VMEM once; the half-space mask, the W0 (V .* M) W1^T state sandwich
+(MXU), and the forecast-combination dot all happen in VMEM with no
+intermediate HBM round trips — the hand-fused version of
+`ops.quadrature.msm_integrals_cached` / `garch_integrals_cached`.
+
+The same kernel serves both integrand families: GARCH/mean-reverting is
+the q = 1 case with W = dx row vectors and unit combination weights.
+
+f32 kernel (TPU Pallas has no f64); accuracy is bounded by the f32 day
+tensors, ~1e-6 relative — ample for a quadrature whose grid bias is ~1e-3.
+Caveat: when a dynamic bound lands EXACTLY on a grid point, the inclusive
+`x <= dyn_upper` comparison can flip between f32 and f64, including or
+excluding one boundary row of quadrature weight; bisection midpoints are
+generic reals so this does not occur in practice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BOX_MIN = -5.0
+
+
+def _day_kernel(bounds_ref, x_ref, w0_ref, w1_ref, fc_ref, v_ref, out_ref):
+    lower = bounds_ref[0, 0]
+    upper = bounds_ref[0, 1]
+    w_inner = bounds_ref[0, 2]  # weights[0] (inner dim)
+    w_outer = bounds_ref[0, 3]  # weights[1] (outer dim)
+
+    x = x_ref[0, :]  # (n,)
+    xo = x[:, None]  # outer coordinates as column
+    dyn_up = (upper - xo * w_outer) / w_inner
+    dyn_lo = jnp.maximum((lower - xo * w_outer) / w_inner, BOX_MIN)
+    mask = (x[None, :] > dyn_lo) & (x[None, :] <= dyn_up)
+
+    v = jnp.where(mask, v_ref[0, :, :], 0.0)
+    left = jnp.dot(w0_ref[:, :], v, preferred_element_type=jnp.float32)
+    r = jnp.dot(left, w1_ref[:, :].T, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = jnp.sum(r.reshape(1, -1) * fc_ref[0, :][None, :])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def masked_sandwich_integrals(bounds, day_tensors, w0, w1, fcombos, x,
+                              weights, *, interpret=False):
+    """(T,) integrals from cached day tensors, fused in one Pallas kernel.
+
+    bounds (T, 2); day_tensors (T, n, n); w0/w1 (q, n) state-weight rows
+    (already including dx); fcombos (T, q*q); x (n,); weights (2,).
+    """
+    f32 = jnp.float32
+    T, n, _ = day_tensors.shape
+    q = w0.shape[0]
+    # pack scalars per day: [lower, upper, w_inner, w_outer]
+    packed = jnp.concatenate(
+        [
+            jnp.asarray(bounds, f32),
+            jnp.broadcast_to(jnp.asarray(weights, f32)[None, :], (T, 2)),
+        ],
+        axis=1,
+    )
+    return pl.pallas_call(
+        _day_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((q, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q * q), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 1), f32),
+        interpret=interpret,
+    )(
+        packed,
+        jnp.asarray(x, f32).reshape(1, n),
+        jnp.asarray(w0, f32),
+        jnp.asarray(w1, f32),
+        jnp.asarray(fcombos, f32),
+        jnp.asarray(day_tensors, f32),
+    )[:, 0]
+
+
+def msm_integrals_pallas(bounds, day_tensors, forecast_combos, x, dx,
+                         densities, weights, *, interpret=False):
+    """Pallas analog of `msm_integrals_cached` (dim == 2)."""
+    densities = jnp.asarray(densities)
+    dx = jnp.asarray(dx)
+    # rotated density rows (`create_grids.py:121,143`): dim 0 -> densities[1]
+    w0 = densities[1] * dx[None, :]
+    w1 = densities[0] * dx[None, :]
+    return masked_sandwich_integrals(
+        bounds, day_tensors, w0, w1, forecast_combos, x, weights,
+        interpret=interpret,
+    )
+
+
+def garch_integrals_pallas(bounds, day_tensors, x, dx, weights, *, interpret=False):
+    """Pallas analog of `garch_integrals_cached`: q = 1 sandwich."""
+    T = day_tensors.shape[0]
+    dx_row = jnp.asarray(dx)[None, :]
+    ones = jnp.ones((T, 1), dtype=day_tensors.dtype)
+    return masked_sandwich_integrals(
+        bounds, day_tensors, dx_row, dx_row, ones, x, weights,
+        interpret=interpret,
+    )

@@ -319,3 +319,92 @@ def _garch_batch(bounds, fvols, x, dx, weights, kind, params):
 def garch_integrals(bounds, forecast_vols, x, dx, weights, spec: CopulaSpec):
     """(T,) integrals for the GARCH / mean-reverting families."""
     return _garch_batch(bounds, forecast_vols, x, dx, weights, spec.kind, spec.params)
+
+
+# ---------------------------------------------------------------------------
+# Cached-density fast path for the bisection loop
+# ---------------------------------------------------------------------------
+#
+# The VaR solver evaluates ~24 bound sweeps per backtest
+# (`calc_var_class.py:111-169,278-309`) and only the half-space mask depends
+# on the bounds: the per-day copula-density grid — including every ppf
+# transform, the dominant cost — is bounds-INVARIANT. Precomputing the
+# (T, n, n) day tensors once turns each bisection iteration into a masked
+# MXU sandwich (mask + two small matmuls), removing all special-function
+# work from the hot loop. Numerically identical to the direct engine up to
+# summation reassociation.
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _msm_day_tensors(fbs, x, unique_vols, kind, params):
+    spec = CopulaSpec(kind, params)
+
+    def one_day(f):
+        u_cols = jnp.sum(
+            f[:, :, None] * norm_cdf(x[None, None, :] / unique_vols[:, :, None]),
+            axis=1,
+        )
+        return grid_copula_density(u_cols, spec)
+
+    return jax.vmap(one_day)(fbs)
+
+
+def msm_day_tensors(forecasts_by_states, x, unique_vols, spec: CopulaSpec):
+    """(T, n, n) copula-density grids, one per out-of-sample day."""
+    return _msm_day_tensors(
+        jnp.asarray(forecasts_by_states), jnp.asarray(x),
+        jnp.asarray(unique_vols), spec.kind, spec.params,
+    )
+
+
+@jax.jit
+def msm_integrals_cached(bounds, C, forecast_combos, x, dx, densities, weights):
+    """(T,) integrals from precomputed day tensors (dim == 2)."""
+    w_cols = state_weight_matrices(densities, jnp.asarray(dx))
+
+    def one_day(b, c, fc):
+        M = halfspace_mask(x, b[0], b[1], weights)
+        V = jnp.where(M, c, 0.0)
+        per_combo = (w_cols[0] @ V @ w_cols[1].T).reshape(-1)
+        return jnp.sum(per_combo * fc)
+
+    return jax.vmap(one_day)(bounds, C, forecast_combos)
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _garch_day_tensors(fvols, x, kind, params):
+    spec = CopulaSpec(kind, params)
+    n = x.shape[0]
+    dim = fvols.shape[1]
+
+    def one_day(fv):
+        u_cols = norm_cdf(x[None, :] / fv[:, None])
+        p_cols = norm_pdf(x[None, :] / fv[:, None]) / fv[:, None]
+        C = grid_copula_density(u_cols, spec)
+        pdf_prod = jnp.ones((1,) * dim)
+        for d in range(dim):
+            shape = [1] * dim
+            shape[d] = n
+            pdf_prod = pdf_prod * p_cols[d].reshape(shape)
+        return jnp.nan_to_num(C * pdf_prod)
+
+    return jax.vmap(one_day)(fvols)
+
+
+def garch_day_tensors(forecast_vols, x, spec: CopulaSpec):
+    """(T, n, n) nan_to_num(copula * pdf-product) grids per day."""
+    return _garch_day_tensors(
+        jnp.asarray(forecast_vols), jnp.asarray(x), spec.kind, spec.params
+    )
+
+
+@jax.jit
+def garch_integrals_cached(bounds, V, x, dx, weights):
+    """(T,) integrals from precomputed GARCH-family day tensors."""
+
+    def one_day(b, v):
+        M = halfspace_mask(x, b[0], b[1], weights)
+        vm = jnp.where(M, v, 0.0)
+        return dx @ vm @ dx
+
+    return jax.vmap(one_day)(bounds, V)

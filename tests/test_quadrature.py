@@ -219,3 +219,41 @@ def test_garch_integral_is_probability_like(rng):
         garch_integrals(np.array([[-100.0, 0.0]]), fvols, x, dx, WEIGHTS, spec)[0]
     )
     np.testing.assert_allclose(half, 0.5, atol=0.05)
+
+
+def test_cached_path_matches_direct(rng):
+    """The bounds-invariant cached day tensors must reproduce the direct
+    engine exactly (up to summation reassociation)."""
+    from copula_var_tpu.ops.quadrature import (
+        garch_day_tensors,
+        garch_integrals_cached,
+        msm_day_tensors,
+        msm_integrals_cached,
+    )
+
+    # MSM
+    x, dx = msm_grid(N_POINTS)
+    dens = _normal_densities(UNIQUE_VOLS, x)
+    dim, q = UNIQUE_VOLS.shape
+    T = len(BOUNDS_CASES)
+    fbs = _fbs(rng, T, dim, q)
+    fcombos = _fcombos(fbs)
+    bounds = np.array(BOUNDS_CASES)
+    spec = CopulaSpec("student", (NU, CORR))
+    want = np.asarray(
+        msm_integrals(bounds, fbs, fcombos, x, dx, dens, UNIQUE_VOLS, WEIGHTS, spec)
+    )
+    C = msm_day_tensors(fbs, x, UNIQUE_VOLS, spec)
+    got = np.asarray(
+        msm_integrals_cached(bounds, C, fcombos, x, dx, dens, WEIGHTS)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    # GARCH
+    xg, dxg = garch_grid(N_POINTS)
+    fvols = rng.uniform(0.7, 1.6, size=(T, 2))
+    specg = CopulaSpec("gaussian", (CORR,))
+    wantg = np.asarray(garch_integrals(bounds, fvols, xg, dxg, WEIGHTS, specg))
+    V = garch_day_tensors(fvols, xg, specg)
+    gotg = np.asarray(garch_integrals_cached(bounds, V, xg, dxg, WEIGHTS))
+    np.testing.assert_allclose(gotg, wantg, rtol=1e-12)
