@@ -2,6 +2,7 @@ from copula_var_tpu.parallel.mesh import make_mesh
 from copula_var_tpu.parallel.quadrature import (
     sharded_msm_step,
     sharded_garch_step,
+    sharded_cached_step,
     grid_sharded_garch_integrals,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "make_mesh",
     "sharded_msm_step",
     "sharded_garch_step",
+    "sharded_cached_step",
     "grid_sharded_garch_integrals",
 ]

@@ -110,6 +110,54 @@ def sharded_garch_step(mesh: Mesh, bounds, forecast_vols, x, dx, weights,
     return step(bounds_s, fv_s)
 
 
+def sharded_cached_step(mesh: Mesh, bounds, day_tensors, fcombos, x, dx,
+                        densities, weights):
+    """Day-sharded cached-tensor sweep — the production bisection inner
+    step: day tensors live sharded over the 'days' axis (T n^2 floats can
+    exceed one chip's HBM at pod-scale T), each device masks + sandwiches
+    its shard. densities=None selects the GARCH q=1 family."""
+    from copula_var_tpu.ops.quadrature import (
+        garch_integrals_cached,
+        msm_integrals_cached,
+    )
+
+    bounds_s = _put(mesh, bounds, P("days"))
+    tensors_s = _put(mesh, day_tensors, P("days"))
+    x, dx = jnp.asarray(x), jnp.asarray(dx)
+    weights = jnp.asarray(weights)
+
+    if densities is None:
+        @functools.partial(
+            jax.jit,
+            in_shardings=(
+                NamedSharding(mesh, P("days")),
+                NamedSharding(mesh, P("days")),
+            ),
+            out_shardings=NamedSharding(mesh, P("days")),
+        )
+        def step(b, v):
+            return garch_integrals_cached(b, v, x, dx, weights)
+
+        return step(bounds_s, tensors_s)
+
+    fcombos_s = _put(mesh, fcombos, P("days"))
+    densities = jnp.asarray(densities)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(
+            NamedSharding(mesh, P("days")),
+            NamedSharding(mesh, P("days")),
+            NamedSharding(mesh, P("days")),
+        ),
+        out_shardings=NamedSharding(mesh, P("days")),
+    )
+    def step(b, v, fc):
+        return msm_integrals_cached(b, v, fc, x, dx, densities, weights)
+
+    return step(bounds_s, tensors_s, fcombos_s)
+
+
 def grid_sharded_garch_integrals(mesh: Mesh, bounds, forecast_vols, x, dx,
                                  weights, spec: CopulaSpec, axis: str = "grid"):
     """One integral per day with the OUTER grid dimension sharded.

@@ -113,3 +113,17 @@ def test_simulate_moments():
     assert ret.shape == (20000,) and comps.shape == (20001, 4)
     # E[vol^2] = sigma^2 * E[prod m] = sigma^2 (multipliers average to 1)
     np.testing.assert_allclose(float(np.mean(np.asarray(vol) ** 2)), 1.5**2, rtol=0.1)
+
+
+def test_kron_filter_k10(rng):
+    """k = 10 (1024 states) — SURVEY hard part (c): the Kronecker-factored
+    scan must agree with the dense filter."""
+    k, b, gamma, m0, sigma = 10, 5.0, 0.3, 0.45, 1.0
+    r = rng.normal(size=40)
+    s_d, c_d, ln_d, v_d = msm.filter_states(k, m0, sigma, b, gamma, r, dense=True)
+    s_k, c_k, ln_k, v_k = msm.filter_states(k, m0, sigma, b, gamma, r, dense=False)
+    assert bool(v_d) and bool(v_k)
+    np.testing.assert_allclose(np.asarray(s_d), np.asarray(s_k), rtol=1e-10, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(ln_d), np.asarray(ln_k), rtol=1e-10)
+    ll = float(msm.log_likelihood(k, m0, sigma, b, gamma, r))
+    assert np.isfinite(ll)

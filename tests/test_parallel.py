@@ -108,3 +108,37 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
     ge.dryrun_multichip(8)
+
+
+def test_sharded_cached_step_matches(rng):
+    from copula_var_tpu.ops.quadrature import (
+        garch_day_tensors,
+        garch_integrals_cached,
+        msm_day_tensors,
+        msm_integrals_cached,
+    )
+    from copula_var_tpu.parallel import sharded_cached_step
+
+    mesh = make_mesh(n_devices=8)
+    bounds, fbs, fcombos, x, dx, dens, uvols = _msm_problem(rng)
+    w = np.array([0.5, 0.5])
+    spec = CopulaSpec("student", (6.0, jnp.asarray(CORR)))
+    C = msm_day_tensors(fbs, x, uvols, spec)
+    want = np.asarray(msm_integrals_cached(bounds, C, fcombos, x, dx, dens, w))
+    got = np.asarray(
+        sharded_cached_step(mesh, bounds, C, fcombos, x, dx, dens, w)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-11)
+
+    # garch family (densities=None)
+    xg, dxg = garch_grid(32)
+    T = 16
+    fv = rng.uniform(0.7, 1.5, size=(T, 2))
+    bg = np.column_stack([np.full(T, -100.0), rng.uniform(-4, -1, T)])
+    specg = CopulaSpec("gaussian", (jnp.asarray(CORR),))
+    V = garch_day_tensors(fv, xg, specg)
+    wantg = np.asarray(garch_integrals_cached(bg, V, xg, dxg, w))
+    gotg = np.asarray(
+        sharded_cached_step(mesh, bg, V, None, xg, dxg, None, w)
+    )
+    np.testing.assert_allclose(gotg, wantg, rtol=1e-11)
