@@ -320,6 +320,8 @@ def _copula_spec(kind: str, fit_result) -> CopulaSpec:
         )
     if kind == "plackett":
         return CopulaSpec("plackett", (fit_result.theta,))
+    if kind in _COPULA_SPEC_BUILDERS:
+        return _COPULA_SPEC_BUILDERS[kind](fit_result)
     raise ValueError(f"unknown copula: {kind}")
 
 
@@ -444,12 +446,88 @@ class VaRBacktest:
         upper = bis[:, 1]
         upper_stack = ~np.isin(upper, list(second_guess))
 
-        final = self._bisection(
-            obj_var, bis, result_current, upper_stack, prev_upper, tolerance,
-            verbose,
-        )
+        if self.data.dim == 2 and getattr(self, "_day_tensors", None) is not None:
+            final = self._bisection_device(
+                obj_var, bis, result_current, upper_stack, prev_upper,
+                tolerance,
+            )
+        else:
+            final = self._bisection(
+                obj_var, bis, result_current, upper_stack, prev_upper,
+                tolerance, verbose,
+            )
         self.solve_seconds = time.time() - t0
         return final + self.data.ptf_mean
+
+    def _bisection_device(self, obj_var, bisection_bounds, prev_result,
+                          upper_stack, prev_upper, tolerance):
+        """The whole bisection as ONE on-device `lax.while_loop` — a single
+        XLA invocation replaces the reference's ~21 host-driven integral
+        sweeps (`calc_var_class.py:250-309`). Used with the cached-tensor
+        fast path (dim == 2); semantics identical to `_bisection`
+        including the all-zeros early break, which freezes the state
+        exactly where the reference's `break` leaves it."""
+        inputs = self.integration_inputs
+        tensors = self._day_tensors
+        weights = jnp.asarray(self.data.weights)
+        if isinstance(inputs, MsmIntegrationInputs):
+            from copula_var_tpu.ops.quadrature import msm_integrals_cached
+
+            fcombos = jnp.asarray(inputs.forecast_combos)
+            x = jnp.asarray(inputs.x)
+            dx = jnp.asarray(inputs.dx)
+            dens = jnp.asarray(inputs.densities)
+
+            def integral(bounds):
+                return msm_integrals_cached(
+                    bounds, tensors, fcombos, x, dx, dens, weights
+                )
+        else:
+            from copula_var_tpu.ops.quadrature import garch_integrals_cached
+
+            x = jnp.asarray(inputs.x)
+            dx = jnp.asarray(inputs.dx)
+
+            def integral(bounds):
+                return garch_integrals_cached(bounds, tensors, x, dx, weights)
+
+        def cond(state):
+            lower, upper, _, _, _, brk = state
+            return jnp.any(upper - lower > tolerance) & ~brk
+
+        def body(state):
+            lower, upper, prev_res, prev_up, ustack, brk = state
+            mid = (lower + upper) / 2.0
+            bounds = jnp.where(
+                ustack[:, None],
+                jnp.column_stack((lower, mid)),
+                jnp.column_stack((mid, upper)),
+            )
+            mid_result = integral(bounds)
+            add = bounds[:, 0] == prev_up
+            result = jnp.where(add, prev_res + mid_result, prev_res - mid_result)
+            zero = jnp.all(result == 0.0)
+            ustack_n = result < obj_var
+            lower_n = jnp.where(~ustack_n, lower, mid)
+            upper_n = jnp.where(ustack_n, upper, mid)
+            # freeze on the all-zeros break (`calc_var_class.py:292-294`)
+            keep = lambda new, old: jnp.where(zero, old, new)
+            return (
+                keep(lower_n, lower), keep(upper_n, upper),
+                keep(result, prev_res), keep(mid, prev_up),
+                keep(ustack_n, ustack), brk | zero,
+            )
+
+        state = (
+            jnp.asarray(bisection_bounds[:, 0]),
+            jnp.asarray(bisection_bounds[:, 1]),
+            jnp.asarray(prev_result),
+            jnp.asarray(prev_upper, dtype=jnp.asarray(prev_result).dtype),
+            jnp.asarray(upper_stack),
+            jnp.asarray(False),
+        )
+        lower, upper, *_ = jax.lax.while_loop(cond, body, state)
+        return np.asarray((lower + upper) / 2.0)
 
     def _bisection(self, obj_var, bisection_bounds, prev_result, upper_stack,
                    prev_upper, tolerance=1e-6, verbose=False):
@@ -490,6 +568,26 @@ _ADAPTERS = {
     "garch": GarchAdapter,
     "mean_reverting": MeanRevertingAdapter,
 }
+
+
+def register_adapter(name: str, adapter_cls) -> None:
+    """Plug in a custom volatility-model adapter (the open-ended analog of
+    the reference's `VaRCalculationMethod` ABC, `calc_var_ABC.py:25-111`).
+    An adapter provides: fit, marginals_densities, integration_inputs,
+    integrals (and optionally day_tensors / integrals_cached for the
+    fast path)."""
+    _ADAPTERS[name] = adapter_cls
+
+
+def register_copula(name: str, fitter, spec_builder) -> None:
+    """Plug in a custom copula: `fitter(marginals, densities) -> fit` and
+    `spec_builder(fit) -> CopulaSpec`-like object consumed by the
+    quadrature engine."""
+    _COPULA_FITTERS[name] = fitter
+    _COPULA_SPEC_BUILDERS[name] = spec_builder
+
+
+_COPULA_SPEC_BUILDERS = {}
 
 
 def create_var_backtest(

@@ -90,3 +90,25 @@ def test_factory_rejects_unknown():
         create_var_backtest(data, "arma", "gaussian")
     with pytest.raises(ValueError):
         create_var_backtest(data, "garch", "clayton")
+
+
+def test_device_bisection_matches_host(garch_data):
+    """The on-device lax.while_loop bisection must reproduce the host
+    loop exactly."""
+    bt = create_var_backtest(
+        garch_data, "garch", "gaussian", num_points=32,
+        p_max=1, q_max=1, newton_max_iter=40,
+    )
+    var_dev = bt.calc_var(obj_var=0.05)
+
+    # force the host path by pretending dim != 2 at solve time
+    class _HostOnly:
+        pass
+
+    bt2 = create_var_backtest(
+        garch_data, "garch", "gaussian", num_points=32,
+        p_max=1, q_max=1, newton_max_iter=40,
+    )
+    bt2._bisection_device = lambda *a, **k: bt2._bisection(*a, **k)
+    var_host = bt2.calc_var(obj_var=0.05)
+    np.testing.assert_allclose(var_dev, var_host, rtol=1e-12, atol=1e-12)
