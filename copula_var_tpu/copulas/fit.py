@@ -104,18 +104,34 @@ def fit_student(marginals, densities, nu_values=None, tol=1e-9, max_iter=5000) -
         lambda p: student.negative_log_likelihood(p, marginals, densities, dim)
     )
 
-    # Stage 1: correlations per fixed nu
-    best_nll, best_corr_params = np.inf, np.full(n_par, 0.5)
-    for nu in nu_values:
-        vag_corr = jax.jit(
-            jax.value_and_grad(
-                lambda c, nu=float(nu): student.negative_log_likelihood_fixed_nu(
-                    c, nu, marginals, densities, dim
-                )
+    # Stage 1: correlations per fixed nu. The ppf transform and univariate
+    # log-pdf sum are constant within each nu's L-BFGS solve — precomputed
+    # once per nu (one t_ppf sweep each), so the optimizer's inner loop is
+    # only the Cholesky quadratic form. One jitted loss serves the whole
+    # grid (nu is traced + stop_gradient'ed).
+    log_density_sum = float(jnp.sum(jnp.log(densities)))
+    precompute = jax.jit(student.precompute_transform)
+    vag_corr = jax.jit(
+        jax.value_and_grad(
+            lambda c, z, fin, lus, nu: student.negative_log_likelihood_from_transform(
+                c, z, fin, lus, nu, log_density_sum, dim
             )
         )
+    )
+    best_nll, best_corr_params = np.inf, np.full(n_par, 0.5)
+    for nu in nu_values:
+        nu_dev = jnp.asarray(float(nu))
+        z, fin, lus = precompute(marginals, nu_dev)
+
+        def fun(xv, z=z, fin=fin, lus=lus, nu_dev=nu_dev):
+            v, g = vag_corr(jnp.asarray(xv), z, fin, lus, nu_dev)
+            v = float(v)
+            if not np.isfinite(v):
+                return 1e10, np.zeros(n_par)
+            return v, np.nan_to_num(np.asarray(g, dtype=float))
+
         res = minimize(
-            _scipy_fun(vag_corr),
+            fun,
             x0=np.full(n_par, 0.5),
             jac=True,
             method="L-BFGS-B",
@@ -123,7 +139,7 @@ def fit_student(marginals, densities, nu_values=None, tol=1e-9, max_iter=5000) -
             tol=tol,
             options={"maxiter": max_iter},
         )
-        nll = float(nll_full(jnp.asarray(np.concatenate(([nu], res.x)))))
+        nll = float(vag_corr(jnp.asarray(res.x), z, fin, lus, nu_dev)[0])
         if nll < best_nll:
             best_nll, best_corr_params = nll, res.x
 

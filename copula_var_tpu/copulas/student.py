@@ -71,6 +71,52 @@ def ifm_log_likelihood(marginals, densities, nu, corr):
     return jnp.sum(jnp.log(jnp.asarray(densities))) + jnp.sum(jnp.log(c))
 
 
+def precompute_transform(marginals, nu):
+    """Per-(data, nu) constants of the IFM loss: the ppf transform and the
+    univariate log-pdf sum. Across an L-BFGS correlation solve these never
+    change, so hoisting them removes every t_ppf call from the optimizer's
+    inner loop. Returns (z (N, d) zero-filled at non-finite, finite (N,),
+    log_uni_sum (N,))."""
+    u = jnp.asarray(marginals)
+    nu = jnp.asarray(nu, dtype=u.dtype)
+    x = t_ppf(u, nu)
+    finite = jnp.all(jnp.isfinite(x), axis=-1)
+    z = jnp.where(finite[..., None], x, 0.0)
+    log_uni = (
+        gammaln((nu + 1.0) / 2.0)
+        - gammaln(nu / 2.0)
+        - 0.5 * jnp.log(nu * jnp.pi)
+        - ((nu + 1.0) / 2.0) * jnp.log1p(z * z / nu)
+    )
+    return z, finite, jnp.sum(log_uni, axis=-1)
+
+
+def negative_log_likelihood_from_transform(
+    corr_params, z, finite, log_uni_sum, nu, log_density_sum, dim: int
+):
+    """Penalized IFM NLL from precomputed transforms (no ppf inside).
+    `log_density_sum` is the constant sum(log densities) term."""
+    nu = jax.lax.stop_gradient(jnp.asarray(nu, dtype=z.dtype))
+    corr = corr_matrix_from_params(corr_params, dim)
+    ok = is_positive_definite(corr) & jnp.all(jnp.isfinite(corr))
+    safe = jnp.where(ok, corr, jnp.eye(dim, dtype=corr.dtype))
+
+    L = jnp.linalg.cholesky(safe)
+    y = jax.scipy.linalg.solve_triangular(L, z.T, lower=True)
+    quad = jnp.sum(y * y, axis=0)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    log_mvt = (
+        gammaln((nu + dim) / 2.0)
+        - gammaln(nu / 2.0)
+        - (dim / 2.0) * jnp.log(nu * jnp.pi)
+        - 0.5 * logdet
+        - ((nu + dim) / 2.0) * jnp.log1p(quad / nu)
+    )
+    log_c = jnp.where(finite, log_mvt - log_uni_sum, jnp.nan)
+    nll = -(log_density_sum + jnp.sum(log_c))
+    return jnp.where(ok, nll, PENALTY)
+
+
 def negative_log_likelihood(params, marginals, densities, dim: int):
     """Penalized NLL over packed (nu, corr_params)
     (`student/opti.py:34-64`)."""
@@ -81,12 +127,15 @@ def negative_log_likelihood(params, marginals, densities, dim: int):
 
 
 def negative_log_likelihood_fixed_nu(corr_params, nu, marginals, densities, dim: int):
-    """Penalized NLL over corr_params with nu held out of the traced vector.
+    """Penalized NLL over corr_params with nu treated as a non-differentiated
+    input.
 
-    Differentiable w.r.t. corr_params even though JAX's betainc (inside
-    t_ppf) has no derivative rule for its shape parameter: pass a plain
-    float nu and the ppf transform stays constant under the trace — the
-    loss used by the stage-1 IFM schedule (`student/opti.py:116-147`)."""
+    JAX's betainc (inside t_ppf) has no derivative rule for its shape
+    parameter, so nu is wrapped in stop_gradient: the loss stays
+    differentiable w.r.t. corr_params AND one jitted instance serves every
+    nu in the stage-1 IFM grid (`student/opti.py:116-147`) without
+    recompilation."""
+    nu = jax.lax.stop_gradient(jnp.asarray(nu))
     corr = corr_matrix_from_params(corr_params, dim)
     ok = is_positive_definite(corr) & jnp.all(jnp.isfinite(corr))
     safe = jnp.where(ok, corr, jnp.eye(dim, dtype=corr.dtype))
