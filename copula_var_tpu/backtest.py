@@ -75,16 +75,26 @@ class MsmAdapter:
 
     name = "msm"
 
-    def __init__(self, k: int = 4, basin_iter: int = 100, seed: int = 0):
+    def __init__(self, k: int = 4, basin_iter: int = 100, seed: int = 0,
+                 step_size: float = 0.2, b_values=None,
+                 gamma_weight: float = 0.0, b_weight: float = 0.0,
+                 bounds=None):
         self.k = k
         self.basin_iter = basin_iter
         self.seed = seed
+        self.step_size = step_size
+        self.b_values = b_values
+        self.gamma_weight = gamma_weight
+        self.b_weight = b_weight
+        self.bounds = bounds
 
     def fit(self, in_sample: np.ndarray):
         return [
             model_fit.fit_msm(
                 in_sample[:, i], self.k, basin_iter=self.basin_iter,
-                seed=self.seed + i,
+                step_size=self.step_size, b_values=self.b_values,
+                gamma_weight=self.gamma_weight, b_weight=self.b_weight,
+                seed=self.seed + i, bounds=self.bounds,
             )
             for i in range(in_sample.shape[1])
         ]
@@ -101,7 +111,8 @@ class MsmAdapter:
             dcols.append(np.asarray(dens))
         return np.stack(mcols, axis=1), np.stack(dcols, axis=1)
 
-    def integration_inputs(self, windows: np.ndarray, fits, num_points: int):
+    def integration_inputs(self, windows: np.ndarray, fits, num_points: int,
+                           box=(-5.0, 5.0)):
         """Per-day forecast state distributions for all T windows
         (vmap over T; `msm_estimation.py:139-202`), collapsed to unique vol
         levels (`sum_forecast_by_state`, `:204-248`), densities on the MSM
@@ -143,7 +154,7 @@ class MsmAdapter:
         unique_vols = np.stack(uniq_per_dim, axis=0)  # (dim, q)
         fbs = np.stack(fbs_per_dim, axis=1)  # (T, dim, q)
 
-        x, dx = msm_grid(num_points)
+        x, dx = msm_grid(num_points, box[0], box[1])
         densities = np.asarray(
             norm_pdf(x[None, None, :], std=unique_vols[:, :, None])
         )  # (dim, q, n)
@@ -155,17 +166,19 @@ class MsmAdapter:
             combos = combos.reshape(T, -1)
         return MsmIntegrationInputs(x, dx, densities, unique_vols, fbs, combos)
 
-    def integrals(self, bounds, inputs: MsmIntegrationInputs, spec, weights):
+    def integrals(self, bounds, inputs: MsmIntegrationInputs, spec, weights,
+                  box_min=-5.0):
         return msm_integrals(
             jnp.asarray(bounds),
-            jnp.asarray(inputs.forecasts_by_states),
-            jnp.asarray(inputs.forecast_combos),
-            jnp.asarray(inputs.x),
-            jnp.asarray(inputs.dx),
-            jnp.asarray(inputs.densities),
-            jnp.asarray(inputs.unique_vols),
+            inputs.forecasts_by_states,
+            inputs.forecast_combos,
+            inputs.x,
+            inputs.dx,
+            inputs.densities,
+            inputs.unique_vols,
             jnp.asarray(weights),
             spec,
+            box_min,
         )
 
     def day_tensors(self, inputs: MsmIntegrationInputs, spec):
@@ -175,14 +188,12 @@ class MsmAdapter:
             inputs.forecasts_by_states, inputs.x, inputs.unique_vols, spec
         )
 
-    def integrals_cached(self, bounds, tensors, inputs, weights):
+    def integrals_cached(self, bounds, tensors, inputs, weights, box_min=-5.0):
         from copula_var_tpu.ops.quadrature import msm_integrals_cached
 
         return msm_integrals_cached(
-            jnp.asarray(bounds), tensors,
-            jnp.asarray(inputs.forecast_combos), jnp.asarray(inputs.x),
-            jnp.asarray(inputs.dx), jnp.asarray(inputs.densities),
-            jnp.asarray(weights),
+            jnp.asarray(bounds), tensors, inputs.forecast_combos, inputs.x,
+            inputs.dx, inputs.densities, jnp.asarray(weights), box_min,
         )
 
 
@@ -194,16 +205,21 @@ class GarchAdapter:
 
     name = "garch"
 
-    def __init__(self, p_max: int = 3, q_max: int = 3, newton_max_iter: int = 200):
+    def __init__(self, p_max: int = 3, q_max: int = 3,
+                 newton_max_iter: int = 200, newton_tol: float = 1e-10,
+                 eps: float = 1e-5):
         self.p_max = p_max
         self.q_max = q_max
         self.newton_max_iter = newton_max_iter
+        self.newton_tol = newton_tol
+        self.eps = eps
 
     def fit(self, in_sample: np.ndarray):
         return [
             model_fit.fit_garch(
                 in_sample[:, i], p_max=self.p_max, q_max=self.q_max,
-                max_iter=self.newton_max_iter,
+                max_iter=self.newton_max_iter, tol=self.newton_tol,
+                eps=self.eps,
             )
             for i in range(in_sample.shape[1])
         ]
@@ -220,24 +236,25 @@ class GarchAdapter:
             dcols.append(np.asarray(norm_pdf(eps)))
         return np.stack(mcols, axis=1), np.stack(dcols, axis=1)
 
-    def integration_inputs(self, windows: np.ndarray, fits, num_points: int):
-        T, N, dim = windows.shape
-        cols = []
-        for i, f in enumerate(fits):
-            w = jnp.asarray(windows[:, :, i])
-            fv = garch_mod.forecast_vol_windows(w, f.omega, jnp.asarray(f.alpha), jnp.asarray(f.beta))
-            cols.append(np.asarray(fv))
-        x, dx = garch_grid(num_points)
+    def _window_forecasts(self, windows_i, fit):
+        return garch_mod.forecast_vol_windows(
+            windows_i, fit.omega, jnp.asarray(fit.alpha), jnp.asarray(fit.beta)
+        )
+
+    def integration_inputs(self, windows: np.ndarray, fits, num_points: int,
+                           box=(-5.0, 5.0)):
+        cols = [
+            np.asarray(self._window_forecasts(jnp.asarray(windows[:, :, i]), f))
+            for i, f in enumerate(fits)
+        ]
+        x, dx = garch_grid(num_points, box[0], box[1])
         return GarchIntegrationInputs(x, dx, np.stack(cols, axis=1))
 
-    def integrals(self, bounds, inputs: GarchIntegrationInputs, spec, weights):
+    def integrals(self, bounds, inputs: GarchIntegrationInputs, spec, weights,
+                  box_min=-5.0):
         return garch_integrals(
-            jnp.asarray(bounds),
-            jnp.asarray(inputs.forecast_vols),
-            jnp.asarray(inputs.x),
-            jnp.asarray(inputs.dx),
-            jnp.asarray(weights),
-            spec,
+            jnp.asarray(bounds), inputs.forecast_vols, inputs.x, inputs.dx,
+            jnp.asarray(weights), spec, box_min,
         )
 
     def day_tensors(self, inputs: GarchIntegrationInputs, spec):
@@ -245,12 +262,12 @@ class GarchAdapter:
 
         return garch_day_tensors(inputs.forecast_vols, inputs.x, spec)
 
-    def integrals_cached(self, bounds, tensors, inputs, weights):
+    def integrals_cached(self, bounds, tensors, inputs, weights, box_min=-5.0):
         from copula_var_tpu.ops.quadrature import garch_integrals_cached
 
         return garch_integrals_cached(
-            jnp.asarray(bounds), tensors, jnp.asarray(inputs.x),
-            jnp.asarray(inputs.dx), jnp.asarray(weights),
+            jnp.asarray(bounds), tensors, inputs.x, inputs.dx,
+            jnp.asarray(weights), box_min,
         )
 
 
@@ -262,17 +279,26 @@ class MeanRevertingAdapter(GarchAdapter):
 
     name = "mean_reverting"
 
-    def __init__(self, em_max_iter: int = 200, seed: int = 0):
+    def __init__(self, em_max_iter: int = 200, seed: int = 0,
+                 a0: float = 0.99, l0: float = 0.5, q0: float = 0.1,
+                 em_tol: float = 1e-6, perturb_scale: float = 0.05,
+                 restart_attempts: int = 5):
         self.em_max_iter = em_max_iter
         self.seed = seed
+        self.a0, self.l0, self.q0 = a0, l0, q0
+        self.em_tol = em_tol
+        self.perturb_scale = perturb_scale
+        self.restart_attempts = restart_attempts
 
     def fit(self, in_sample: np.ndarray):
-        # fixed initial guess a=0.99, l=0.5, q=0.1
+        # default initial guess a=0.99, l=0.5, q=0.1
         # (`mean_reverting_estimation.py:41-47`)
         return [
             model_fit.fit_ukf_em(
-                in_sample[:, i], a0=0.99, l0=0.5, q0=0.1,
-                max_iter=self.em_max_iter, seed=self.seed + i,
+                in_sample[:, i], a0=self.a0, l0=self.l0, q0=self.q0,
+                max_iter=self.em_max_iter, tol=self.em_tol,
+                perturb_scale=self.perturb_scale,
+                restart_attempts=self.restart_attempts, seed=self.seed + i,
             )
             for i in range(in_sample.shape[1])
         ]
@@ -289,15 +315,8 @@ class MeanRevertingAdapter(GarchAdapter):
             dcols.append(np.asarray(norm_pdf(eps)))
         return np.stack(mcols, axis=1), np.stack(dcols, axis=1)
 
-    def integration_inputs(self, windows: np.ndarray, fits, num_points: int):
-        T, N, dim = windows.shape
-        cols = []
-        for i, f in enumerate(fits):
-            w = jnp.asarray(windows[:, :, i])
-            fv = ukf_mod.forecast_vol_windows(w, f.a, f.l, f.q)
-            cols.append(np.asarray(fv))
-        x, dx = garch_grid(num_points)
-        return GarchIntegrationInputs(x, dx, np.stack(cols, axis=1))
+    def _window_forecasts(self, windows_i, fit):
+        return ukf_mod.forecast_vol_windows(windows_i, fit.a, fit.l, fit.q)
 
 
 # ---------------------------------------------------------------------------
@@ -305,9 +324,9 @@ class MeanRevertingAdapter(GarchAdapter):
 # ---------------------------------------------------------------------------
 
 _COPULA_FITTERS = {
-    "gaussian": lambda U, D: copula_fit.fit_gaussian(U, D),
-    "student": lambda U, D: copula_fit.fit_student(U, D),
-    "plackett": lambda U, D: copula_fit.fit_plackett(U, D),
+    "gaussian": copula_fit.fit_gaussian,
+    "student": copula_fit.fit_student,
+    "plackett": copula_fit.fit_plackett,
 }
 
 
@@ -343,6 +362,8 @@ class VaRBacktest:
     adapter: object
     copula: str
     num_points: int = 100
+    box: tuple = (-5.0, 5.0)
+    copula_fit_kwargs: Optional[dict] = None
 
     def __post_init__(self):
         t0 = time.time()
@@ -352,11 +373,18 @@ class VaRBacktest:
             in_sample, self.model_fits
         )
         self.copula_fit = _COPULA_FITTERS[self.copula](
-            self.marginals, self.densities
+            self.marginals, self.densities, **(self.copula_fit_kwargs or {})
         )
         self.copula_spec = _copula_spec(self.copula, self.copula_fit)
         self.integration_inputs = self.adapter.integration_inputs(
-            self.data.rolling_windows(), self.model_fits, self.num_points
+            self.data.rolling_windows(), self.model_fits, self.num_points,
+            self.box,
+        )
+        # stage the bounds-invariant inputs on-device once: every solver
+        # sweep reuses the same buffers (jnp.asarray on a device array is
+        # a no-op downstream)
+        self.integration_inputs = type(self.integration_inputs)(
+            *[jnp.asarray(v) for v in self.integration_inputs]
         )
         self.prep_seconds = time.time() - t0
 
@@ -378,12 +406,12 @@ class VaRBacktest:
                 )
             out = self.adapter.integrals_cached(
                 bounds, self._day_tensors, self.integration_inputs,
-                self.data.weights,
+                self.data.weights, self.box[0],
             )
         else:
             out = self.adapter.integrals(
                 bounds, self.integration_inputs, self.copula_spec,
-                self.data.weights,
+                self.data.weights, self.box[0],
             )
         return np.asarray(out)
 
@@ -398,12 +426,13 @@ class VaRBacktest:
     # -- VaR solve --------------------------------------------------------
 
     def calc_var(self, obj_var=0.05, first_guess=-3.0, second_guess=(-3.5, -2.0),
-                 tolerance=1e-6, verbose=False):
+                 tolerance=1e-6, min_var_value=-7.5, max_var_value=0.0,
+                 verbose=False):
         """3-stage VaR solve (`calc_var_class.py:95-177,250-309`), exact
         logic: initial slab [-100, first_guess], one refinement slab, then
-        whole-array bisection to `tolerance`, + ptf_mean."""
+        whole-array bisection to `tolerance`, + ptf_mean. Defaults match
+        the reference's hard-coded bracket (`calc_var_class.py:111-112`)."""
         T = self.data.out_sample_n
-        min_var_value, max_var_value = -7.5, 0.0
 
         t0 = time.time()
         lower, upper = -100.0, first_guess
@@ -429,7 +458,14 @@ class VaRBacktest:
         )
         upper = bounds[:, 1]
 
-        bis = np.empty((T, 2))
+        # Default to the full bracket: the four masks below use strict
+        # comparisons, so ties (result == obj_var exactly) and NaN days
+        # (possible reference-parity 0/0 densities) would otherwise leave
+        # uninitialized rows.
+        bis = np.tile(
+            np.array([min_var_value, max_var_value]), (T, 1)
+        )
+        nan_days = np.isnan(result_current)
         hi_mask = result_current > obj_var
         bis[hi_mask, 0] = min_var_value
         bis[hi_mask, 1] = second_guess[0]
@@ -456,6 +492,9 @@ class VaRBacktest:
                 obj_var, bis, result_current, upper_stack, prev_upper,
                 tolerance, verbose,
             )
+        # a day whose CDF is NaN has no solvable quantile: surface NaN
+        # loudly instead of an arbitrary bisection fixed point
+        final = np.where(nan_days, np.nan, final)
         self.solve_seconds = time.time() - t0
         return final + self.data.ptf_mean
 
@@ -478,9 +517,11 @@ class VaRBacktest:
             dx = jnp.asarray(inputs.dx)
             dens = jnp.asarray(inputs.densities)
 
+            box_min = self.box[0]
+
             def integral(bounds):
                 return msm_integrals_cached(
-                    bounds, tensors, fcombos, x, dx, dens, weights
+                    bounds, tensors, fcombos, x, dx, dens, weights, box_min
                 )
         else:
             from copula_var_tpu.ops.quadrature import garch_integrals_cached
@@ -488,8 +529,12 @@ class VaRBacktest:
             x = jnp.asarray(inputs.x)
             dx = jnp.asarray(inputs.dx)
 
+            box_min = self.box[0]
+
             def integral(bounds):
-                return garch_integrals_cached(bounds, tensors, x, dx, weights)
+                return garch_integrals_cached(
+                    bounds, tensors, x, dx, weights, box_min
+                )
 
         def cond(state):
             lower, upper, _, _, _, brk = state
@@ -595,6 +640,8 @@ def create_var_backtest(
     estimation_type: str,
     copula_type: str,
     num_points: int = 100,
+    box: tuple = (-5.0, 5.0),
+    copula_fit_kwargs: Optional[dict] = None,
     **adapter_kwargs,
 ) -> VaRBacktest:
     """3 models x 3 copulas factory (`factory.py:10-31`). Every pair maps
@@ -605,4 +652,5 @@ def create_var_backtest(
     if copula_type not in _COPULA_FITTERS:
         raise ValueError(f"Unsupported copula type: {copula_type}")
     adapter = _ADAPTERS[estimation_type](**adapter_kwargs)
-    return VaRBacktest(data, adapter, copula_type, num_points)
+    return VaRBacktest(data, adapter, copula_type, num_points, box,
+                       copula_fit_kwargs)

@@ -118,23 +118,47 @@ class BacktestConfig:
 
 
 def adapter_kwargs(cfg: BacktestConfig) -> dict:
-    """Map the config onto the factory's adapter kwargs."""
+    """Map the config onto the factory's adapter kwargs (every knob)."""
     if cfg.estimation_type == "msm":
+        m = cfg.msm
         return dict(
-            k=cfg.msm.k, basin_iter=cfg.msm.basin_iter, seed=cfg.msm.seed
+            k=m.k, basin_iter=m.basin_iter, seed=m.seed,
+            step_size=m.step_size,
+            b_values=np.linspace(*m.b_grid[:2], int(m.b_grid[2])),
+            gamma_weight=m.gamma_weight, b_weight=m.b_weight,
+            bounds=np.array([m.m0_bounds, m.b_bounds, m.gamma_bounds]),
         )
     if cfg.estimation_type == "garch":
+        g = cfg.garch
         return dict(
-            p_max=cfg.garch.p_max,
-            q_max=cfg.garch.q_max,
-            newton_max_iter=cfg.garch.newton_max_iter,
+            p_max=g.p_max, q_max=g.q_max,
+            newton_max_iter=g.newton_max_iter, newton_tol=g.newton_tol,
+            eps=g.fd_epsilon,
         )
     if cfg.estimation_type == "mean_reverting":
+        m = cfg.mean_reverting
         return dict(
-            em_max_iter=cfg.mean_reverting.em_max_iter,
-            seed=cfg.mean_reverting.seed,
+            em_max_iter=m.em_max_iter, seed=m.seed, a0=m.a0, l0=m.l0,
+            q0=m.q0, em_tol=m.em_tol, perturb_scale=m.perturb_scale,
+            restart_attempts=m.restart_attempts,
         )
     raise ValueError(f"Unsupported estimation type: {cfg.estimation_type}")
+
+
+def copula_fit_kwargs(cfg: BacktestConfig) -> dict:
+    """Map CopulaConfig onto the IFM fitter kwargs."""
+    c = cfg.copula
+    if cfg.copula_type == "student":
+        return dict(
+            nu_values=np.linspace(*c.nu_grid[:2], int(c.nu_grid[2])),
+            nu_bounds=c.nu_bounds, tol=c.tol, max_iter=c.max_iter,
+        )
+    if cfg.copula_type == "plackett":
+        return dict(
+            theta_range=np.linspace(*c.theta_grid[:2], int(c.theta_grid[2])),
+            tol=c.tol, max_iter=c.max_iter,
+        )
+    return dict(tol=c.tol, max_iter=c.max_iter)
 
 
 def run_backtest(data, cfg: BacktestConfig):
@@ -148,6 +172,8 @@ def run_backtest(data, cfg: BacktestConfig):
         cfg.estimation_type,
         cfg.copula_type,
         num_points=cfg.num_points,
+        box=cfg.solver.box,
+        copula_fit_kwargs=copula_fit_kwargs(cfg),
         **adapter_kwargs(cfg),
     )
     var = bt.calc_var(
@@ -155,5 +181,7 @@ def run_backtest(data, cfg: BacktestConfig):
         first_guess=cfg.solver.first_guess,
         second_guess=cfg.solver.second_guess,
         tolerance=cfg.solver.tolerance,
+        min_var_value=cfg.solver.min_var_value,
+        max_var_value=cfg.solver.max_var_value,
     )
     return bt, var

@@ -92,7 +92,8 @@ def fit_gaussian(marginals, densities, tol=1e-9, max_iter=5000) -> GaussianFit:
     return GaussianFit(corr, nll, packed)
 
 
-def fit_student(marginals, densities, nu_values=None, tol=1e-9, max_iter=5000) -> StudentFit:
+def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
+                tol=1e-9, max_iter=5000) -> StudentFit:
     marginals = jnp.asarray(marginals)
     densities = jnp.asarray(densities)
     dim = marginals.shape[1]
@@ -164,7 +165,7 @@ def fit_student(marginals, densities, nu_values=None, tol=1e-9, max_iter=5000) -
         fun_nu,
         x0=[10.0],
         method="L-BFGS-B",
-        bounds=[(2.01, 50.0)],
+        bounds=[tuple(nu_bounds)],
         tol=tol,
         options={"maxiter": max_iter},
     )

@@ -92,9 +92,12 @@ class ReturnsData:
         return self.returns[idx] - self.in_sample_mean[None, None, :]
 
     def portfolio_out_sample(self) -> np.ndarray:
-        """(T,) equal-combination portfolio returns used for the backtest
-        comparison plot (`main.py:73`: mean across assets)."""
-        return self.out_sample.mean(axis=1)
+        """(T,) realized portfolio returns under `self.weights` — the
+        series the solved VaR applies to. (The reference's comparison plot
+        uses an unweighted mean across assets, `main.py:73`, which only
+        matches its VaR for equal weights; using the actual weights here
+        keeps exception statistics consistent for any weighting.)"""
+        return self.out_sample @ self.weights
 
 
 def from_returns(returns, tickers=None, n_insample=None, weights=None, dates=None) -> ReturnsData:
@@ -137,10 +140,7 @@ def from_csv(path, n_insample, weights=None, date_column=None) -> ReturnsData:
         dates = df[date_column].to_numpy()
         df = df.drop(columns=[date_column])
     df = df.dropna()
-    return from_prices(
-        df.to_numpy(), list(df.columns), n_insample, weights,
-        dates if dates is None else dates,
-    )
+    return from_prices(df.to_numpy(), list(df.columns), n_insample, weights, dates)
 
 
 def from_yfinance(tickers, start_date, n_insample, weights=None, end_date=None) -> ReturnsData:

@@ -178,6 +178,7 @@ def fit_msm(
     gamma_weight: float = 0.0,
     b_weight: float = 0.0,
     seed: int = 0,
+    bounds=None,
 ) -> MsmFit:
     """Basin-hopping MLE over (m_0, b, gamma), sigma closed-form.
 
@@ -188,6 +189,7 @@ def fit_msm(
     returns = np.asarray(returns, dtype=float)
     if b_values is None:
         b_values = np.linspace(1.0, 50.0, 10)  # `opti.py:21`
+    bounds = MSM_BOUNDS if bounds is None else np.asarray(bounds, dtype=float)
     n_starts = len(b_values)
     sample_var = float(np.var(returns))
     n = len(returns)
@@ -203,7 +205,7 @@ def fit_msm(
         reg = gamma_weight * n * (gm - 0.5) ** 2 + b_weight * n * (1.0 / b) ** 2
         return -ll + reg
 
-    lo, hi = MSM_BOUNDS[:, 0], MSM_BOUNDS[:, 1]
+    lo, hi = bounds[:, 0], bounds[:, 1]
     cur = np.tile(np.array([0.5, 10.0, 0.5]), (n_starts, 1))
     cur[:, 1] = b_values
     cur_nll = np.asarray(batch_nll(jnp.asarray(cur)))
@@ -260,7 +262,7 @@ def fit_msm(
     for i in order:
         res = _sp_minimize(
             _sp_fun, x0=cur[i], jac=True, method="L-BFGS-B",
-            bounds=[tuple(b) for b in MSM_BOUNDS],
+            bounds=[tuple(b) for b in bounds],
         )
         if res.fun < cur_nll[i]:
             cur[i] = res.x
@@ -319,6 +321,15 @@ def fit_ukf_em(
     loop runs up to max_iter but we add an early exit after the convergence
     + restart sweep finds no improvement (the reference burns the remaining
     iterations re-confirming the same optimum).
+
+    DEFECT FIXED (documented): the reference's M-step uses the INITIAL a0
+    forever — its local `a` is assigned once before the loop
+    (`optimize.py:83`) and never updated, so `update_q(a, ...)` and the
+    OLS shift (`optimize.py:141-149`) anchor to a0 = 0.99 for every
+    iteration regardless of the evolving params. Here the M-step uses the
+    current iterate's a (textbook EM); parity for this optimizer is
+    defined at the likelihood-kernel level (SURVEY §7d), not the
+    trajectory.
     """
     returns = np.asarray(returns, dtype=float)
     rng = np.random.default_rng(seed)

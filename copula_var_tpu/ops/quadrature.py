@@ -229,6 +229,7 @@ def msm_integral_day(
     unique_vols,
     weights,
     spec: CopulaSpec,
+    box_min=BOX_MIN,
 ):
     """One out-of-sample day's integral, MSM mixture variant.
 
@@ -246,7 +247,7 @@ def msm_integral_day(
         axis=1,
     )
     C = grid_copula_density(u_cols, spec)
-    M = halfspace_mask(x, bounds[0], bounds[1], weights)
+    M = halfspace_mask(x, bounds[0], bounds[1], weights, box_min)
     V = jnp.where(M, C, 0.0)
     w_cols = state_weight_matrices(densities, dx)
     per_combo = _contract_states(V, w_cols).reshape(-1)  # (q^dim,) ij order
@@ -258,7 +259,8 @@ def msm_integral_day(
 # ---------------------------------------------------------------------------
 
 
-def garch_integral_day(bounds, forecast_vols, x, dx, weights, spec: CopulaSpec):
+def garch_integral_day(bounds, forecast_vols, x, dx, weights, spec: CopulaSpec,
+                      box_min=BOX_MIN):
     """One day's integral, single-forecast-vol variant.
 
     forecast_vols: (dim,) one sigma per asset. The explicit pdf product
@@ -277,7 +279,7 @@ def garch_integral_day(bounds, forecast_vols, x, dx, weights, spec: CopulaSpec):
         shape[d] = n
         pdf_prod = pdf_prod * p_cols[d].reshape(shape)
     V = jnp.nan_to_num(C * pdf_prod)
-    M = halfspace_mask(x, bounds[0], bounds[1], weights)
+    M = halfspace_mask(x, bounds[0], bounds[1], weights, box_min)
     V = jnp.where(M, V, 0.0)
     w_cols = [dx[None, :]] * dim  # densities are ones at grid build
     return _contract_states(V, w_cols).reshape(())
@@ -289,36 +291,43 @@ def garch_integral_day(bounds, forecast_vols, x, dx, weights, spec: CopulaSpec):
 
 
 @functools.partial(jax.jit, static_argnames=("kind",))
-def _msm_batch(bounds, fbs, fcombos, x, dx, densities, unique_vols, weights, kind, params):
+def _msm_batch(bounds, fbs, fcombos, x, dx, densities, unique_vols, weights,
+               box_min, kind, params):
     spec = CopulaSpec(kind, params)
     f = jax.vmap(
         lambda b, s, c: msm_integral_day(
-            b, s, c, x, dx, densities, unique_vols, weights, spec
+            b, s, c, x, dx, densities, unique_vols, weights, spec, box_min
         )
     )
     return f(bounds, fbs, fcombos)
 
 
 def msm_integrals(bounds, forecasts_by_states, forecast_combos, x, dx,
-                  densities, unique_vols, weights, spec: CopulaSpec):
+                  densities, unique_vols, weights, spec: CopulaSpec,
+                  box_min=BOX_MIN):
     """(T,) integrals: vmap of `msm_integral_day` over days — the TPU
     replacement for the joblib fan-out (`calc_integral.py:211-223`)."""
     return _msm_batch(
         bounds, forecasts_by_states, forecast_combos, x, dx, densities,
-        unique_vols, weights, spec.kind, spec.params,
+        unique_vols, weights, box_min, spec.kind, spec.params,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("kind",))
-def _garch_batch(bounds, fvols, x, dx, weights, kind, params):
+def _garch_batch(bounds, fvols, x, dx, weights, box_min, kind, params):
     spec = CopulaSpec(kind, params)
-    f = jax.vmap(lambda b, v: garch_integral_day(b, v, x, dx, weights, spec))
+    f = jax.vmap(
+        lambda b, v: garch_integral_day(b, v, x, dx, weights, spec, box_min)
+    )
     return f(bounds, fvols)
 
 
-def garch_integrals(bounds, forecast_vols, x, dx, weights, spec: CopulaSpec):
+def garch_integrals(bounds, forecast_vols, x, dx, weights, spec: CopulaSpec,
+                    box_min=BOX_MIN):
     """(T,) integrals for the GARCH / mean-reverting families."""
-    return _garch_batch(bounds, forecast_vols, x, dx, weights, spec.kind, spec.params)
+    return _garch_batch(
+        bounds, forecast_vols, x, dx, weights, box_min, spec.kind, spec.params
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -357,13 +366,14 @@ def msm_day_tensors(forecasts_by_states, x, unique_vols, spec: CopulaSpec):
     )
 
 
-@jax.jit
-def msm_integrals_cached(bounds, C, forecast_combos, x, dx, densities, weights):
+@functools.partial(jax.jit, static_argnames=())
+def msm_integrals_cached(bounds, C, forecast_combos, x, dx, densities, weights,
+                         box_min=BOX_MIN):
     """(T,) integrals from precomputed day tensors (dim == 2)."""
     w_cols = state_weight_matrices(densities, jnp.asarray(dx))
 
     def one_day(b, c, fc):
-        M = halfspace_mask(x, b[0], b[1], weights)
+        M = halfspace_mask(x, b[0], b[1], weights, box_min)
         V = jnp.where(M, c, 0.0)
         per_combo = (w_cols[0] @ V @ w_cols[1].T).reshape(-1)
         return jnp.sum(per_combo * fc)
@@ -398,12 +408,12 @@ def garch_day_tensors(forecast_vols, x, spec: CopulaSpec):
     )
 
 
-@jax.jit
-def garch_integrals_cached(bounds, V, x, dx, weights):
+@functools.partial(jax.jit, static_argnames=())
+def garch_integrals_cached(bounds, V, x, dx, weights, box_min=BOX_MIN):
     """(T,) integrals from precomputed GARCH-family day tensors."""
 
     def one_day(b, v):
-        M = halfspace_mask(x, b[0], b[1], weights)
+        M = halfspace_mask(x, b[0], b[1], weights, box_min)
         vm = jnp.where(M, v, 0.0)
         return dx @ vm @ dx
 

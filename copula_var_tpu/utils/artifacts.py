@@ -30,6 +30,7 @@ def save_artifacts(path: str, backtest) -> None:
         "copula": backtest.copula,
         "adapter": backtest.adapter.name,
         "num_points": backtest.num_points,
+        "box": list(getattr(backtest, "box", (-5.0, 5.0))),
         "inputs_kind": type(ii).__name__,
         "model_fits": [
             {k: np.asarray(v).tolist() for k, v in f._asdict().items()}
@@ -69,6 +70,8 @@ def load_artifacts(path: str, data, adapter=None):
     bt.adapter = adapter
     bt.copula = meta["copula"]
     bt.num_points = meta["num_points"]
+    bt.box = tuple(meta.get("box", (-5.0, 5.0)))
+    bt.copula_fit_kwargs = None
 
     fit_cls = getattr(model_fit_mod, meta["fit_type"])
     bt.model_fits = [

@@ -71,3 +71,36 @@ def test_stage_timer():
         pass
     assert t.counts == {"a": 2, "b": 1}
     assert "a:" in t.report() and "b:" in t.report()
+
+
+def test_config_knobs_are_honored():
+    """Regression for dead-knob wiring: solver bracket, box, and copula
+    grid settings must actually change behavior."""
+    data = synthetic_dataset(jax.random.PRNGKey(8), 150, 130)
+    cfg = BacktestConfig(estimation_type="garch", copula_type="plackett",
+                         n_insample=130, num_points=24)
+    cfg.garch.p_max = cfg.garch.q_max = 1
+    cfg.garch.newton_max_iter = 30
+    cfg.copula.theta_grid = (1.0, 5.0, 2)
+    bt, var = run_backtest(data, cfg)
+    assert np.all(np.isfinite(var))
+
+    # a custom box changes the quadrature grid end-points
+    cfg2 = BacktestConfig(estimation_type="garch", copula_type="gaussian",
+                          n_insample=130, num_points=24)
+    cfg2.garch.p_max = cfg2.garch.q_max = 1
+    cfg2.garch.newton_max_iter = 30
+    cfg2.solver.box = (-6.0, 6.0)
+    bt2, var2 = run_backtest(data, cfg2)
+    x = np.asarray(bt2.integration_inputs.x)
+    assert x[0] == -6.0 and x[-1] == 6.0
+    assert np.all(np.isfinite(var2))
+
+    # a wider min_var_value moves the lower bracket for deep quantiles
+    cfg3 = BacktestConfig(estimation_type="garch", copula_type="gaussian",
+                          n_insample=130, num_points=24)
+    cfg3.garch.p_max = cfg3.garch.q_max = 1
+    cfg3.garch.newton_max_iter = 30
+    cfg3.solver.min_var_value = -12.0
+    bt3, var3 = run_backtest(data, cfg3)
+    assert np.all(np.isfinite(var3))
