@@ -58,44 +58,46 @@ def main():
     ]
 
     from copula_var_tpu.ops.quadrature import (
-        msm_day_tensors,
+        _msm_day_tensors,
         msm_integrals_cached,
     )
 
     # Production configuration: one VaR solve = tensor precompute (the
     # ppf/copula grids, bounds-invariant) + ~24 masked-sandwich sweeps
-    # (3 bracketing + ~21 bisection iterations, `calc_var_class.py`).
+    # (3 bracketing + ~21 bisection iterations, `calc_var_class.py`) —
+    # exactly what the on-device bisection executes. The whole solve is
+    # ONE jitted program (one transport round-trip per rep).
     sweeps = 24
-    sweep_bounds = [
-        jnp.asarray(
-            np.column_stack(
-                [np.full(T, -100.0), rng.uniform(-4.0, -1.0, size=T)]
-            )
-        )
-        for _ in range(sweeps)
-    ]
-
-    def full_solve():
-        C = msm_day_tensors(args[1], args[3], args[6], spec)
-        acc = 0.0
-        for b in sweep_bounds:
-            acc += float(
-                np.sum(
-                    np.asarray(
-                        msm_integrals_cached(
-                            b, C, args[2], args[3], args[4], args[5], args[7]
-                        )
-                    )
+    sweep_bounds = jnp.asarray(
+        np.stack(
+            [
+                np.column_stack(
+                    [np.full(T, -100.0), rng.uniform(-4.0, -1.0, size=T)]
                 )
-            )
+                for _ in range(sweeps)
+            ]
+        )
+    )  # (sweeps, T, 2)
+
+    @jax.jit
+    def full_solve(bounds_stack, fbs_, fcombos_, x_, dx_, dens_, uvols_, w_):
+        C = _msm_day_tensors(fbs_, x_, uvols_, spec.kind, spec.params)
+
+        def body(acc, b):
+            r = msm_integrals_cached(b, C, fcombos_, x_, dx_, dens_, w_)
+            return acc + jnp.sum(r), None
+
+        acc, _ = jax.lax.scan(body, 0.0, bounds_stack)
         return acc
 
-    full_solve()  # warm-up (compile)
+    solve_args = (sweep_bounds, args[1], args[2], args[3], args[4], args[5],
+                  args[6], args[7])
+    float(full_solve(*solve_args))  # warm-up (compile)
     reps = 3
     times = []
     for _ in range(reps):
         t0 = time.time()
-        acc = full_solve()
+        acc = float(full_solve(*solve_args))
         times.append(time.time() - t0)
     # min over reps: the best estimate of true device cost under a noisy
     # host<->device transport (outliers are transport stalls, not compute)

@@ -115,7 +115,13 @@ def sharded_cached_step(mesh: Mesh, bounds, day_tensors, fcombos, x, dx,
     """Day-sharded cached-tensor sweep — the production bisection inner
     step: day tensors live sharded over the 'days' axis (T n^2 floats can
     exceed one chip's HBM at pod-scale T), each device masks + sandwiches
-    its shard. densities=None selects the GARCH q=1 family."""
+    its shard. densities=None selects the GARCH q=1 family.
+
+    Implementation note: inputs are placed with NamedSharding and the
+    MODULE-LEVEL jitted kernels are called directly — XLA's sharding
+    propagation keeps the computation day-parallel, and the jit cache is
+    shared across calls (a per-call jitted closure would recompile every
+    sweep)."""
     from copula_var_tpu.ops.quadrature import (
         garch_integrals_cached,
         msm_integrals_cached,
@@ -127,35 +133,12 @@ def sharded_cached_step(mesh: Mesh, bounds, day_tensors, fcombos, x, dx,
     weights = jnp.asarray(weights)
 
     if densities is None:
-        @functools.partial(
-            jax.jit,
-            in_shardings=(
-                NamedSharding(mesh, P("days")),
-                NamedSharding(mesh, P("days")),
-            ),
-            out_shardings=NamedSharding(mesh, P("days")),
-        )
-        def step(b, v):
-            return garch_integrals_cached(b, v, x, dx, weights)
-
-        return step(bounds_s, tensors_s)
+        return garch_integrals_cached(bounds_s, tensors_s, x, dx, weights)
 
     fcombos_s = _put(mesh, fcombos, P("days"))
-    densities = jnp.asarray(densities)
-
-    @functools.partial(
-        jax.jit,
-        in_shardings=(
-            NamedSharding(mesh, P("days")),
-            NamedSharding(mesh, P("days")),
-            NamedSharding(mesh, P("days")),
-        ),
-        out_shardings=NamedSharding(mesh, P("days")),
+    return msm_integrals_cached(
+        bounds_s, tensors_s, fcombos_s, x, dx, jnp.asarray(densities), weights
     )
-    def step(b, v, fc):
-        return msm_integrals_cached(b, v, fc, x, dx, densities, weights)
-
-    return step(bounds_s, tensors_s, fcombos_s)
 
 
 def grid_sharded_garch_integrals(mesh: Mesh, bounds, forecast_vols, x, dx,
