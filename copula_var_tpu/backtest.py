@@ -196,6 +196,32 @@ class MsmAdapter:
             inputs.dx, inputs.densities, jnp.asarray(weights), box_min,
         )
 
+    def integrals_pallas(self, bounds, tensors, inputs, weights,
+                         box_min=-5.0, interpret=False):
+        from copula_var_tpu.ops.pallas_quadrature import msm_integrals_pallas
+
+        return msm_integrals_pallas(
+            jnp.asarray(bounds), tensors, inputs.forecast_combos, inputs.x,
+            inputs.dx, inputs.densities, jnp.asarray(weights),
+            interpret=interpret, box_min=box_min,
+        )
+
+    def day_columns(self, inputs: MsmIntegrationInputs, spec):
+        from copula_var_tpu.ops.quadrature import msm_day_columns
+
+        return msm_day_columns(
+            inputs.forecasts_by_states, inputs.x, inputs.unique_vols, spec
+        )
+
+    def integrals_tcached(self, bounds, cols, inputs, spec, weights,
+                          box_min=-5.0):
+        from copula_var_tpu.ops.quadrature import msm_integrals_tcached
+
+        return msm_integrals_tcached(
+            bounds, cols, inputs.forecast_combos, inputs.x, inputs.dx,
+            inputs.densities, jnp.asarray(weights), spec, box_min,
+        )
+
 
 class GarchAdapter:
     """GARCH estimation pipeline (`garch_estimation.py`). The reference's
@@ -268,6 +294,32 @@ class GarchAdapter:
         return garch_integrals_cached(
             jnp.asarray(bounds), tensors, inputs.x, inputs.dx,
             jnp.asarray(weights), box_min,
+        )
+
+    def integrals_pallas(self, bounds, tensors, inputs, weights,
+                         box_min=-5.0, interpret=False):
+        from copula_var_tpu.ops.pallas_quadrature import (
+            garch_integrals_pallas,
+        )
+
+        return garch_integrals_pallas(
+            jnp.asarray(bounds), tensors, inputs.x, inputs.dx,
+            jnp.asarray(weights), interpret=interpret, box_min=box_min,
+        )
+
+    def day_columns(self, inputs: GarchIntegrationInputs, spec):
+        from copula_var_tpu.ops.quadrature import garch_day_columns
+
+        return garch_day_columns(inputs.forecast_vols, inputs.x, spec)
+
+    def integrals_tcached(self, bounds, cols, inputs, spec, weights,
+                          box_min=-5.0):
+        from copula_var_tpu.ops.quadrature import garch_integrals_tcached
+
+        tcols, p_cols = cols
+        return garch_integrals_tcached(
+            bounds, tcols, p_cols, inputs.x, inputs.dx,
+            jnp.asarray(weights), spec, box_min,
         )
 
 
@@ -364,6 +416,7 @@ class VaRBacktest:
     num_points: int = 100
     box: tuple = (-5.0, 5.0)
     copula_fit_kwargs: Optional[dict] = None
+    engine: str = "xla"  # 'xla' (f64-capable) | 'pallas' (fused f32 TPU kernel)
 
     def __post_init__(self):
         t0 = time.time()
@@ -390,24 +443,73 @@ class VaRBacktest:
 
     # -- CDF evaluator ----------------------------------------------------
 
+    def _cached_integral_fn(self):
+        """Build (once) and return the cached-sweep closure
+        `integral(bounds) -> (T,)`, or None if the adapter has no cached
+        path (a minimal plugin adapter).
+
+        dim == 2: full (T, n, n) copula-density day tensors — each sweep is
+        a masked MXU sandwich. dim >= 3: per-day transform columns (the
+        ppf work, (T, dim, n)) — each sweep recombines them into the n^dim
+        density in day chunks; still removes all special-function work
+        from the ~24 sweeps per solve.
+        """
+        fn = getattr(self, "_integral_fn", None)
+        if fn is not None:
+            return fn
+        weights = jnp.asarray(self.data.weights)
+        inputs = self.integration_inputs
+        box_min = self.box[0]
+        if self.engine == "pallas":
+            if self.data.dim != 2 or not hasattr(self.adapter, "integrals_pallas"):
+                raise ValueError(
+                    "engine='pallas' requires dim == 2 and an adapter with "
+                    "a Pallas path"
+                )
+            tensors = self.adapter.day_tensors(inputs, self.copula_spec)
+            self._cached_tensors = tensors
+            adapter = self.adapter
+            # interpret mode makes the kernel runnable on the CPU test mesh
+            interpret = jax.devices()[0].platform != "tpu"
+
+            def fn(bounds):
+                return adapter.integrals_pallas(
+                    bounds, tensors, inputs, weights, box_min,
+                    interpret=interpret,
+                )
+        elif self.data.dim == 2 and hasattr(self.adapter, "day_tensors"):
+            tensors = self.adapter.day_tensors(inputs, self.copula_spec)
+            adapter = self.adapter
+
+            def fn(bounds):
+                return adapter.integrals_cached(
+                    bounds, tensors, inputs, weights, box_min
+                )
+        elif hasattr(self.adapter, "day_columns"):
+            cols = self.adapter.day_columns(inputs, self.copula_spec)
+            adapter, spec = self.adapter, self.copula_spec
+
+            def fn(bounds):
+                return adapter.integrals_tcached(
+                    bounds, cols, inputs, spec, weights, box_min
+                )
+        else:
+            fn = None
+        self._integral_fn = fn
+        return fn
+
     def compute_integral(self, bounds: np.ndarray) -> np.ndarray:
         """(T,) integrals over per-day [lower, upper] slabs
         (`calc_var_class.py:179-212`; the reference's bounds dedup is
         unnecessary under the fixed-shape vmap engine).
 
-        Fast path (dim == 2): the per-day copula-density grids are
-        bounds-invariant, so they are built once and every subsequent
-        sweep — ~24 per VaR solve — is just a masked MXU sandwich.
+        Fast path: per-day bounds-invariant work (copula-density grids for
+        dim == 2, transform columns for dim >= 3) is built once; every
+        subsequent sweep — ~24 per VaR solve — reuses it.
         """
-        if self.data.dim == 2:
-            if getattr(self, "_day_tensors", None) is None:
-                self._day_tensors = self.adapter.day_tensors(
-                    self.integration_inputs, self.copula_spec
-                )
-            out = self.adapter.integrals_cached(
-                bounds, self._day_tensors, self.integration_inputs,
-                self.data.weights, self.box[0],
-            )
+        fn = self._cached_integral_fn()
+        if fn is not None:
+            out = fn(jnp.asarray(bounds))
         else:
             out = self.adapter.integrals(
                 bounds, self.integration_inputs, self.copula_spec,
@@ -482,7 +584,13 @@ class VaRBacktest:
         upper = bis[:, 1]
         upper_stack = ~np.isin(upper, list(second_guess))
 
-        if self.data.dim == 2 and getattr(self, "_day_tensors", None) is not None:
+        if self.engine == "pallas":
+            self._cached_integral_fn()  # builds self._cached_tensors
+            final = self._bisection_pallas_fused(
+                obj_var, bis, result_current, upper_stack, prev_upper,
+                tolerance,
+            )
+        elif self._cached_integral_fn() is not None:
             final = self._bisection_device(
                 obj_var, bis, result_current, upper_stack, prev_upper,
                 tolerance,
@@ -498,6 +606,35 @@ class VaRBacktest:
         self.solve_seconds = time.time() - t0
         return final + self.data.ptf_mean
 
+    def _bisection_pallas_fused(self, obj_var, bisection_bounds, prev_result,
+                                upper_stack, prev_upper, tolerance):
+        """The ENTIRE bisection in ONE Pallas kernel launch: each day's day
+        tensor streams HBM -> VMEM once and all ~21 iterations run in VMEM
+        (`ops/pallas_solver.py`; bounded deviations from the reference loop
+        documented there)."""
+        from copula_var_tpu.ops.pallas_solver import (
+            garch_solve_pallas,
+            msm_solve_pallas,
+        )
+
+        inputs = self.integration_inputs
+        tensors = self._cached_tensors
+        interpret = jax.devices()[0].platform != "tpu"
+        common = dict(
+            lower=bisection_bounds[:, 0], upper=bisection_bounds[:, 1],
+            prev_result=prev_result, prev_upper=prev_upper,
+            upper_stack=upper_stack, obj_var=obj_var, tolerance=tolerance,
+            box_min=self.box[0], interpret=interpret,
+        )
+        if isinstance(inputs, MsmIntegrationInputs):
+            return msm_solve_pallas(
+                tensors, inputs.forecast_combos, inputs.x, inputs.dx,
+                inputs.densities, self.data.weights, **common,
+            )
+        return garch_solve_pallas(
+            tensors, inputs.x, inputs.dx, self.data.weights, **common,
+        )
+
     def _bisection_device(self, obj_var, bisection_bounds, prev_result,
                           upper_stack, prev_upper, tolerance):
         """The whole bisection as ONE on-device `lax.while_loop` — a single
@@ -506,35 +643,7 @@ class VaRBacktest:
         fast path (dim == 2); semantics identical to `_bisection`
         including the all-zeros early break, which freezes the state
         exactly where the reference's `break` leaves it."""
-        inputs = self.integration_inputs
-        tensors = self._day_tensors
-        weights = jnp.asarray(self.data.weights)
-        if isinstance(inputs, MsmIntegrationInputs):
-            from copula_var_tpu.ops.quadrature import msm_integrals_cached
-
-            fcombos = jnp.asarray(inputs.forecast_combos)
-            x = jnp.asarray(inputs.x)
-            dx = jnp.asarray(inputs.dx)
-            dens = jnp.asarray(inputs.densities)
-
-            box_min = self.box[0]
-
-            def integral(bounds):
-                return msm_integrals_cached(
-                    bounds, tensors, fcombos, x, dx, dens, weights, box_min
-                )
-        else:
-            from copula_var_tpu.ops.quadrature import garch_integrals_cached
-
-            x = jnp.asarray(inputs.x)
-            dx = jnp.asarray(inputs.dx)
-
-            box_min = self.box[0]
-
-            def integral(bounds):
-                return garch_integrals_cached(
-                    bounds, tensors, x, dx, weights, box_min
-                )
+        integral = self._cached_integral_fn()
 
         def cond(state):
             lower, upper, _, _, _, brk = state
@@ -563,11 +672,14 @@ class VaRBacktest:
                 keep(ustack_n, ustack), brk | zero,
             )
 
+        # canonical float carry: an f32 engine (pallas) under x64 would
+        # otherwise flip carry dtypes between iterations
+        dt = jnp.zeros(()).dtype
         state = (
-            jnp.asarray(bisection_bounds[:, 0]),
-            jnp.asarray(bisection_bounds[:, 1]),
-            jnp.asarray(prev_result),
-            jnp.asarray(prev_upper, dtype=jnp.asarray(prev_result).dtype),
+            jnp.asarray(bisection_bounds[:, 0], dtype=dt),
+            jnp.asarray(bisection_bounds[:, 1], dtype=dt),
+            jnp.asarray(prev_result, dtype=dt),
+            jnp.asarray(prev_upper, dtype=dt),
             jnp.asarray(upper_stack),
             jnp.asarray(False),
         )
@@ -642,6 +754,7 @@ def create_var_backtest(
     num_points: int = 100,
     box: tuple = (-5.0, 5.0),
     copula_fit_kwargs: Optional[dict] = None,
+    engine: str = "xla",
     **adapter_kwargs,
 ) -> VaRBacktest:
     """3 models x 3 copulas factory (`factory.py:10-31`). Every pair maps
@@ -653,4 +766,4 @@ def create_var_backtest(
         raise ValueError(f"Unsupported copula type: {copula_type}")
     adapter = _ADAPTERS[estimation_type](**adapter_kwargs)
     return VaRBacktest(data, adapter, copula_type, num_points, box,
-                       copula_fit_kwargs)
+                       copula_fit_kwargs, engine)

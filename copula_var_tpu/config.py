@@ -92,6 +92,7 @@ class BacktestConfig:
     copula_type: str = "student"  # 'gaussian' | 'student' | 'plackett'
     n_insample: int = 1135
     num_points: int = 100
+    engine: str = "xla"  # 'xla' | 'pallas' (fused f32 TPU kernel, dim == 2)
     weights: Optional[Sequence[float]] = None  # default equal weights
     msm: MsmConfig = field(default_factory=MsmConfig)
     garch: GarchConfig = field(default_factory=GarchConfig)
@@ -174,6 +175,7 @@ def run_backtest(data, cfg: BacktestConfig):
         num_points=cfg.num_points,
         box=cfg.solver.box,
         copula_fit_kwargs=copula_fit_kwargs(cfg),
+        engine=cfg.engine,
         **adapter_kwargs(cfg),
     )
     var = bt.calc_var(

@@ -11,6 +11,7 @@ jit once and `vmap` over assets, rolling windows, and parameter candidates
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -43,6 +44,7 @@ def validate_params(omega, alpha, beta) -> None:
         raise ValueError("sum(alpha) + sum(beta) must be < 1.")
 
 
+@jax.jit
 def conditional_variances(returns, omega, alpha, beta):
     """sigma^2_t path; matches `estimation.py:40-65` exactly.
 
@@ -73,6 +75,7 @@ def conditional_variances(returns, omega, alpha, beta):
     return jnp.concatenate([jnp.reshape(s2_0, (1,)), s2_rest])
 
 
+@jax.jit
 def log_likelihood(returns, omega, alpha, beta):
     """Gaussian log-likelihood with the first max(p, q) observations
     chopped (`estimation.py:91-125`)."""
@@ -85,12 +88,14 @@ def log_likelihood(returns, omega, alpha, beta):
     return -0.5 * jnp.sum(jnp.log(2.0 * jnp.pi * s2) + (r * r) / s2)
 
 
+@jax.jit
 def standardized_residuals(returns, omega, alpha, beta):
     """eps_t = r_t / sigma_t (`estimation.py:76-89`)."""
     s2 = conditional_variances(returns, omega, alpha, beta)
     return jnp.asarray(returns) / jnp.sqrt(s2)
 
 
+@jax.jit
 def forecast_vol(returns, omega, alpha, beta):
     """One-step-ahead sigma forecast (`garch/forecast.py:5-18`).
 
@@ -108,6 +113,7 @@ def forecast_vol(returns, omega, alpha, beta):
     return jnp.sqrt(f)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
 def simulate(key, omega, alpha, beta, n):
     """Simulate a GARCH(p, q) series (`garch/generate_data.py:34-69`).
 
@@ -123,6 +129,7 @@ def simulate(key, omega, alpha, beta, n):
     return simulate_from_draws(draws, omega, alpha, beta, n)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
 def simulate_from_draws(draws, omega, alpha, beta, n):
     """Core GARCH simulator driven by explicit N(0,1) draws.
 
@@ -160,7 +167,11 @@ def simulate_from_draws(draws, omega, alpha, beta, n):
 # Batched conveniences -------------------------------------------------------
 
 #: log-likelihood vmapped over a leading batch of parameter candidates.
-log_likelihood_batch = jax.vmap(log_likelihood, in_axes=(None, 0, 0, 0))
+log_likelihood_batch = jax.jit(
+    jax.vmap(log_likelihood, in_axes=(None, 0, 0, 0))
+)
 
 #: forecast vmapped over a leading batch of rolling windows.
-forecast_vol_windows = jax.vmap(forecast_vol, in_axes=(0, None, None, None))
+forecast_vol_windows = jax.jit(
+    jax.vmap(forecast_vol, in_axes=(0, None, None, None))
+)

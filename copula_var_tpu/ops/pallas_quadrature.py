@@ -30,26 +30,32 @@ BOX_MIN = -5.0
 
 
 def _day_kernel(bounds_ref, x_ref, w0_ref, w1_ref, fc_ref, v_ref, out_ref):
-    lower = bounds_ref[0, 0]
-    upper = bounds_ref[0, 1]
-    w_inner = bounds_ref[0, 2]  # weights[0] (inner dim)
-    w_outer = bounds_ref[0, 3]  # weights[1] (outer dim)
+    # per-day operands are blocked (1, 1, k): Mosaic checks only the LAST
+    # TWO block dims against the array dims, so the day axis must be a
+    # leading singleton, not a row of a 2-D block
+    lower = bounds_ref[0, 0, 0]
+    upper = bounds_ref[0, 0, 1]
+    w_inner = bounds_ref[0, 0, 2]  # weights[0] (inner dim)
+    w_outer = bounds_ref[0, 0, 3]  # weights[1] (outer dim)
+    box_min = bounds_ref[0, 0, 4]
 
     x = x_ref[0, :]  # (n,)
     xo = x[:, None]  # outer coordinates as column
     dyn_up = (upper - xo * w_outer) / w_inner
-    dyn_lo = jnp.maximum((lower - xo * w_outer) / w_inner, BOX_MIN)
+    dyn_lo = jnp.maximum((lower - xo * w_outer) / w_inner, box_min)
     mask = (x[None, :] > dyn_lo) & (x[None, :] <= dyn_up)
 
     v = jnp.where(mask, v_ref[0, :, :], 0.0)
     left = jnp.dot(w0_ref[:, :], v, preferred_element_type=jnp.float32)
     r = jnp.dot(left, w1_ref[:, :].T, preferred_element_type=jnp.float32)
-    out_ref[0, 0] = jnp.sum(r.reshape(1, -1) * fc_ref[0, :][None, :])
+    # fc stays (q, q): Mosaic cannot shape-cast (q, q) -> (1, q*q)
+    acc = jnp.sum(r * fc_ref[0, :, :])
+    out_ref[0, :, :] = acc.reshape(1, 1)  # Mosaic: no scalar VMEM stores
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "box_min"))
 def masked_sandwich_integrals(bounds, day_tensors, w0, w1, fcombos, x,
-                              weights, *, interpret=False):
+                              weights, *, interpret=False, box_min=BOX_MIN):
     """(T,) integrals from cached day tensors, fused in one Pallas kernel.
 
     bounds (T, 2); day_tensors (T, n, n); w0/w1 (q, n) state-weight rows
@@ -58,11 +64,12 @@ def masked_sandwich_integrals(bounds, day_tensors, w0, w1, fcombos, x,
     f32 = jnp.float32
     T, n, _ = day_tensors.shape
     q = w0.shape[0]
-    # pack scalars per day: [lower, upper, w_inner, w_outer]
+    # pack scalars per day: [lower, upper, w_inner, w_outer, box_min]
     packed = jnp.concatenate(
         [
             jnp.asarray(bounds, f32),
             jnp.broadcast_to(jnp.asarray(weights, f32)[None, :], (T, 2)),
+            jnp.full((T, 1), box_min, dtype=f32),
         ],
         axis=1,
     )
@@ -70,28 +77,30 @@ def masked_sandwich_integrals(bounds, day_tensors, w0, w1, fcombos, x,
         _day_kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 5), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((q, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q * q), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q, q), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, 1), f32),
+        out_specs=pl.BlockSpec((1, 1, 1), lambda t: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, 1, 1), f32),
         interpret=interpret,
     )(
-        packed,
+        packed.reshape(T, 1, 5),
         jnp.asarray(x, f32).reshape(1, n),
         jnp.asarray(w0, f32),
         jnp.asarray(w1, f32),
-        jnp.asarray(fcombos, f32),
+        jnp.asarray(fcombos, f32).reshape(T, q, q),
         jnp.asarray(day_tensors, f32),
-    )[:, 0]
+    )[:, 0, 0]
 
 
 def msm_integrals_pallas(bounds, day_tensors, forecast_combos, x, dx,
-                         densities, weights, *, interpret=False):
+                         densities, weights, *, interpret=False,
+                         box_min=BOX_MIN):
     """Pallas analog of `msm_integrals_cached` (dim == 2)."""
     densities = jnp.asarray(densities)
     dx = jnp.asarray(dx)
@@ -100,16 +109,17 @@ def msm_integrals_pallas(bounds, day_tensors, forecast_combos, x, dx,
     w1 = densities[0] * dx[None, :]
     return masked_sandwich_integrals(
         bounds, day_tensors, w0, w1, forecast_combos, x, weights,
-        interpret=interpret,
+        interpret=interpret, box_min=box_min,
     )
 
 
-def garch_integrals_pallas(bounds, day_tensors, x, dx, weights, *, interpret=False):
+def garch_integrals_pallas(bounds, day_tensors, x, dx, weights, *,
+                           interpret=False, box_min=BOX_MIN):
     """Pallas analog of `garch_integrals_cached`: q = 1 sandwich."""
     T = day_tensors.shape[0]
     dx_row = jnp.asarray(dx)[None, :]
     ones = jnp.ones((T, 1), dtype=day_tensors.dtype)
     return masked_sandwich_integrals(
         bounds, day_tensors, dx_row, dx_row, ones, x, weights,
-        interpret=interpret,
+        interpret=interpret, box_min=box_min,
     )

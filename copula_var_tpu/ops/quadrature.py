@@ -119,21 +119,49 @@ def _chol_inv_logdet(corr):
     return sigma_inv, logdet
 
 
-def grid_copula_density(u_cols, spec: CopulaSpec):
-    """Copula density over the full tensor-product grid from per-dimension
-    marginal-CDF columns u_cols (dim, n). Returns shape (n,) * dim.
+def transform_u_columns(u_cols, spec: CopulaSpec):
+    """Per-coordinate copula pre-transforms on (dim, n) marginal-CDF
+    columns. Everything ppf-shaped — the reference's dominant scalar cost
+    (`student/student.py:96-104`) — happens HERE, on dim*n values, and is
+    bounds-invariant, so cached engines hoist it out of the solver loop.
 
-    Exactly the reference densities (`gaussian.py:47-61`, `student.py:49-79`,
-    `plackett.py:45-71`) evaluated with per-coordinate transforms: the ppf
-    runs on dim*n values instead of n^dim grid points.
+    Returns a tuple of (dim, n) arrays:
+      plackett -> (u,);   gaussian -> (z,) with z = norm_ppf(u);
+      student  -> (z, finite, log_uni) with z = where(finite, t_ppf(u), 0)
+                  and log_uni the log univariate-t pdf at z.
     """
     u_cols = jnp.asarray(u_cols)
-    dim, n = u_cols.shape
+    if spec.kind == "plackett":
+        return (u_cols,)
+    if spec.kind == "gaussian":
+        return (norm_ppf(u_cols),)
+    if spec.kind == "student":
+        nu, _ = spec.params
+        nu = jnp.asarray(nu, dtype=u_cols.dtype)
+        z_raw = t_ppf(u_cols, nu)
+        fin = jnp.isfinite(z_raw)
+        z = jnp.where(fin, z_raw, 0.0)
+        log_uni = (
+            gammaln((nu + 1.0) / 2.0)
+            - gammaln(nu / 2.0)
+            - 0.5 * jnp.log(nu * jnp.pi)
+            - ((nu + 1.0) / 2.0) * jnp.log1p(z * z / nu)
+        )
+        return (z, fin, log_uni)
+    raise ValueError(f"unknown copula kind: {spec.kind}")
+
+
+def copula_density_from_transformed(cols, spec: CopulaSpec):
+    """Copula density over the full tensor-product grid from pre-transformed
+    per-dimension columns (output of `transform_u_columns`). Returns shape
+    (n,) * dim. Numerically identical to `grid_copula_density`."""
+    dim, n = cols[0].shape
 
     if spec.kind == "plackett":
         (theta,) = spec.params
         if dim != 2:
             raise ValueError("Plackett copula requires dim == 2")
+        (u_cols,) = cols
         a = u_cols[0][:, None]
         b = u_cols[1][None, :]
         tm1 = theta - 1.0
@@ -143,7 +171,8 @@ def grid_copula_density(u_cols, spec: CopulaSpec):
 
     if spec.kind == "gaussian":
         (corr,) = spec.params
-        z_cols = [norm_ppf(u_cols[d]) for d in range(dim)]
+        (z,) = cols
+        z_cols = [z[d] for d in range(dim)]
         sigma_inv, logdet = _chol_inv_logdet(corr)
         quad = _all_pairs_quad(z_cols, sigma_inv)
         sum_z2 = jnp.zeros((1,) * dim)
@@ -155,10 +184,9 @@ def grid_copula_density(u_cols, spec: CopulaSpec):
 
     if spec.kind == "student":
         nu, corr = spec.params
-        nu = jnp.asarray(nu, dtype=u_cols.dtype)
-        z_raw = [t_ppf(u_cols[d], nu) for d in range(dim)]
-        fin_cols = [jnp.isfinite(z) for z in z_raw]
-        z_cols = [jnp.where(f, z, 0.0) for z, f in zip(z_raw, fin_cols)]
+        nu = jnp.asarray(nu, dtype=cols[0].dtype)
+        z, fin, log_uni = cols
+        z_cols = [z[d] for d in range(dim)]
         sigma_inv, logdet = _chol_inv_logdet(corr)
         quad = _all_pairs_quad(z_cols, sigma_inv)
         log_mvt = (
@@ -173,19 +201,26 @@ def grid_copula_density(u_cols, spec: CopulaSpec):
         for d in range(dim):
             shape = [1] * dim
             shape[d] = n
-            lu = (
-                gammaln((nu + 1.0) / 2.0)
-                - gammaln(nu / 2.0)
-                - 0.5 * jnp.log(nu * jnp.pi)
-                - ((nu + 1.0) / 2.0) * jnp.log1p(z_cols[d] ** 2 / nu)
-            )
-            log_uni_sum = log_uni_sum + lu.reshape(shape)
-            finite = finite & fin_cols[d].reshape(shape)
+            log_uni_sum = log_uni_sum + log_uni[d].reshape(shape)
+            finite = finite & fin[d].reshape(shape)
         ratio = jnp.exp(log_mvt - log_uni_sum)
         # reference 0/0 -> NaN on saturated marginals (`student.py:128-131`)
         return jnp.where(finite, ratio, jnp.nan)
 
     raise ValueError(f"unknown copula kind: {spec.kind}")
+
+
+def grid_copula_density(u_cols, spec: CopulaSpec):
+    """Copula density over the full tensor-product grid from per-dimension
+    marginal-CDF columns u_cols (dim, n). Returns shape (n,) * dim.
+
+    Exactly the reference densities (`gaussian.py:47-61`, `student.py:49-79`,
+    `plackett.py:45-71`) evaluated with per-coordinate transforms: the ppf
+    runs on dim*n values instead of n^dim grid points.
+    """
+    return copula_density_from_transformed(
+        transform_u_columns(u_cols, spec), spec
+    )
 
 
 def _contract_states(V, w_cols):
@@ -418,3 +453,143 @@ def garch_integrals_cached(bounds, V, x, dx, weights, box_min=BOX_MIN):
         return dx @ vm @ dx
 
     return jax.vmap(one_day)(bounds, V)
+
+
+# ---------------------------------------------------------------------------
+# Transform-cached engines (any dim)
+# ---------------------------------------------------------------------------
+#
+# The (T, n, n) day-tensor cache above is dim == 2 only: for dim >= 3 the
+# full density grids would be (T, n^dim) — 4 GB at T=500, n=100, dim=3.
+# The transform cache keeps the middle ground: the per-day per-coordinate
+# copula pre-transforms (ppf and friends, (T, dim, n) — the reference's
+# dominant cost) are computed ONCE, and each solver sweep recombines them
+# into the n^dim density, masks, and contracts. Days are evaluated in
+# fixed-size chunks (`lax.map` batch_size) so peak memory is
+# day_batch * n^dim regardless of T.
+
+
+def _day_batch(n: int, dim: int, T: int) -> int:
+    """Chunk size bounding transient density-grid memory to ~2^21 f64
+    elements (16 MB) per chunk."""
+    return max(1, min(T, (1 << 21) // max(1, n**dim)))
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _msm_day_columns(fbs, x, unique_vols, kind, params):
+    spec = CopulaSpec(kind, params)
+
+    def one_day(f):
+        u_cols = jnp.sum(
+            f[:, :, None] * norm_cdf(x[None, None, :] / unique_vols[:, :, None]),
+            axis=1,
+        )
+        return transform_u_columns(u_cols, spec)
+
+    return jax.vmap(one_day)(fbs)
+
+
+def msm_day_columns(forecasts_by_states, x, unique_vols, spec: CopulaSpec):
+    """Per-day cached copula pre-transform columns (pytree, leading T)."""
+    return _msm_day_columns(
+        jnp.asarray(forecasts_by_states), jnp.asarray(x),
+        jnp.asarray(unique_vols), spec.kind, spec.params,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "day_batch"))
+def _msm_tcached(bounds, cols, fcombos, x, dx, densities, weights, box_min,
+                 kind, params, day_batch):
+    spec = CopulaSpec(kind, params)
+    w_cols = state_weight_matrices(densities, jnp.asarray(dx))
+
+    def one_day(args):
+        b, c, fc = args
+        C = copula_density_from_transformed(c, spec)
+        M = halfspace_mask(x, b[0], b[1], weights, box_min)
+        V = jnp.where(M, C, 0.0)
+        per_combo = _contract_states(V, w_cols).reshape(-1)
+        return jnp.sum(per_combo * fc)
+
+    return jax.lax.map(
+        one_day, (bounds, cols, fcombos), batch_size=day_batch
+    )
+
+
+def msm_integrals_tcached(bounds, cols, forecast_combos, x, dx, densities,
+                          weights, spec: CopulaSpec, box_min=BOX_MIN,
+                          day_batch=None):
+    """(T,) MSM-family integrals from cached transform columns (any dim)."""
+    bounds = jnp.asarray(bounds)
+    x = jnp.asarray(x)
+    densities = jnp.asarray(densities)
+    dim = densities.shape[0]
+    T = bounds.shape[0]
+    if day_batch is None:
+        day_batch = _day_batch(x.shape[0], dim, T)
+    return _msm_tcached(
+        bounds, cols, jnp.asarray(forecast_combos), x, jnp.asarray(dx),
+        densities, jnp.asarray(weights), box_min, spec.kind, spec.params,
+        day_batch,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kind",))
+def _garch_day_columns(fvols, x, kind, params):
+    spec = CopulaSpec(kind, params)
+
+    def one_day(fv):
+        u_cols = norm_cdf(x[None, :] / fv[:, None])
+        p_cols = norm_pdf(x[None, :] / fv[:, None]) / fv[:, None]
+        return transform_u_columns(u_cols, spec), p_cols
+
+    return jax.vmap(one_day)(fvols)
+
+
+def garch_day_columns(forecast_vols, x, spec: CopulaSpec):
+    """Cached (transform columns, pdf columns) for the GARCH/MR family."""
+    return _garch_day_columns(
+        jnp.asarray(forecast_vols), jnp.asarray(x), spec.kind, spec.params
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "day_batch"))
+def _garch_tcached(bounds, cols, p_cols, x, dx, weights, box_min, kind,
+                   params, day_batch):
+    spec = CopulaSpec(kind, params)
+    dim = p_cols.shape[1]
+    n = x.shape[0]
+
+    def one_day(args):
+        b, c, p = args
+        C = copula_density_from_transformed(c, spec)
+        pdf_prod = jnp.ones((1,) * dim)
+        for d in range(dim):
+            shape = [1] * dim
+            shape[d] = n
+            pdf_prod = pdf_prod * p[d].reshape(shape)
+        V = jnp.nan_to_num(C * pdf_prod)
+        M = halfspace_mask(x, b[0], b[1], weights, box_min)
+        V = jnp.where(M, V, 0.0)
+        w_cols = [dx[None, :]] * dim
+        return _contract_states(V, w_cols).reshape(())
+
+    return jax.lax.map(
+        one_day, (bounds, cols, p_cols), batch_size=day_batch
+    )
+
+
+def garch_integrals_tcached(bounds, cols, p_cols, x, dx, weights,
+                            spec: CopulaSpec, box_min=BOX_MIN,
+                            day_batch=None):
+    """(T,) GARCH/MR integrals from cached transform columns (any dim)."""
+    bounds = jnp.asarray(bounds)
+    x = jnp.asarray(x)
+    p_cols = jnp.asarray(p_cols)
+    T, dim = bounds.shape[0], p_cols.shape[1]
+    if day_batch is None:
+        day_batch = _day_batch(x.shape[0], dim, T)
+    return _garch_tcached(
+        bounds, cols, p_cols, x, jnp.asarray(dx), jnp.asarray(weights),
+        box_min, spec.kind, spec.params, day_batch,
+    )

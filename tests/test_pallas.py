@@ -65,3 +65,97 @@ def test_garch_pallas_matches_cached(rng):
         garch_integrals_pallas(BOUNDS, V, x, dx, WEIGHTS, interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-7)
+
+
+def test_pallas_engine_backtest_matches_xla():
+    """engine='pallas' end-to-end: the fused f32 kernel drives
+    compute_integral AND the on-device bisection; VaR must match the f64
+    XLA engine to the bisection tolerance + f32 CDF error."""
+    import jax
+
+    from copula_var_tpu.backtest import create_var_backtest
+    from copula_var_tpu.data import synthetic_dataset
+
+    data = synthetic_dataset(jax.random.PRNGKey(5), 240, 220,
+                             spec=("garch", "garch"))
+    kwargs = dict(num_points=32, p_max=1, q_max=1)
+    bt_x = create_var_backtest(data, "garch", "gaussian", **kwargs)
+    var_x = bt_x.calc_var(obj_var=0.05)
+    bt_p = create_var_backtest(data, "garch", "gaussian", engine="pallas",
+                               **kwargs)
+    var_p = bt_p.calc_var(obj_var=0.05)
+    assert np.all(np.isfinite(var_p))
+    np.testing.assert_allclose(var_p, var_x, atol=2e-3)
+
+
+def test_pallas_engine_requires_dim2():
+    import jax
+
+    from copula_var_tpu.backtest import create_var_backtest
+    from copula_var_tpu.data import synthetic_dataset
+
+    data = synthetic_dataset(jax.random.PRNGKey(6), 240, 220,
+                             spec=("garch", "garch", "garch"))
+    bt = create_var_backtest(data, "garch", "gaussian", engine="pallas",
+                             num_points=16, p_max=1, q_max=1)
+    with pytest.raises(ValueError, match="pallas"):
+        bt.compute_integral(np.array([[-100.0, -3.0]] * data.out_sample_n))
+
+
+def test_fused_bisection_solver_matches_host(rng):
+    """One-launch fused bisection (ops/pallas_solver.py) vs a host-driven
+    f64 bisection with identical bracketing state."""
+    import jax.numpy as jnp
+
+    from copula_var_tpu.ops.pallas_solver import msm_solve_pallas
+
+    n, q, T = 32, 3, 16
+    x, dx = msm_grid(n)
+    uvols = np.sort(rng.uniform(0.5, 1.5, size=(2, q)), axis=1)
+    dens = np.exp(-0.5 * (x[None, None, :] / uvols[:, :, None]) ** 2) / (
+        np.sqrt(2 * np.pi) * uvols[:, :, None]
+    )
+    fbs = rng.uniform(0.1, 1.0, size=(T, 2, q))
+    fbs /= fbs.sum(axis=2, keepdims=True)
+    fcombos = np.einsum("ti,tj->tij", fbs[:, 0], fbs[:, 1]).reshape(T, -1)
+    spec = CopulaSpec("student", (6.0, CORR))
+    C = msm_day_tensors(fbs, x, uvols, spec)
+    C32 = jnp.asarray(C, jnp.float32)
+
+    lower = np.full(T, -7.5)
+    upper = np.full(T, 0.0)
+    entry_up = rng.uniform(-4.0, -1.0, size=T)
+    prev_res = np.asarray(
+        msm_integrals_cached(
+            np.column_stack([np.full(T, -100.0), entry_up]),
+            C, fcombos, x, dx, dens, WEIGHTS,
+        )
+    )
+    prev_up = entry_up.copy()
+    ustack = np.ones(T, dtype=bool)
+    tol = 1e-6
+
+    root = msm_solve_pallas(
+        C32, fcombos, x, dx, dens, WEIGHTS, lower, upper, prev_res,
+        prev_up, ustack, 0.05, tol, interpret=True,
+    )
+
+    lo, up = lower.copy(), upper.copy()
+    pr, pu, us = prev_res.copy(), prev_up.copy(), ustack.copy()
+    while np.any(up - lo > tol):
+        mid = 0.5 * (lo + up)
+        b = np.where(
+            us[:, None], np.column_stack([lo, mid]), np.column_stack([mid, up])
+        )
+        mres = np.asarray(
+            msm_integrals_cached(b, C, fcombos, x, dx, dens, WEIGHTS)
+        )
+        add = b[:, 0] == pu
+        res = np.where(add, pr + mres, pr - mres)
+        us = res < 0.05
+        lo = np.where(us, mid, lo)
+        up = np.where(us, up, mid)
+        pr, pu = res, mid
+    want = 0.5 * (lo + up)
+    # f32 CDF error ~1e-6 relative moves the root by well under 1e-3
+    np.testing.assert_allclose(root, want, atol=2e-3)

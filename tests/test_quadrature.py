@@ -257,3 +257,102 @@ def test_cached_path_matches_direct(rng):
     V = garch_day_tensors(fvols, xg, specg)
     gotg = np.asarray(garch_integrals_cached(bounds, V, xg, dxg, WEIGHTS))
     np.testing.assert_allclose(gotg, wantg, rtol=1e-12)
+
+
+def test_transform_cached_matches_direct_dim2(rng):
+    """The transform-cached engines (any-dim cache of the per-coordinate
+    ppf work) must reproduce the direct engines exactly."""
+    from copula_var_tpu.ops.quadrature import (
+        garch_day_columns,
+        garch_integrals_tcached,
+        msm_day_columns,
+        msm_integrals_tcached,
+    )
+
+    x, dx = msm_grid(N_POINTS)
+    dens = _normal_densities(UNIQUE_VOLS, x)
+    dim, q = UNIQUE_VOLS.shape
+    T = len(BOUNDS_CASES)
+    fbs = _fbs(rng, T, dim, q)
+    fcombos = _fcombos(fbs)
+    bounds = np.array(BOUNDS_CASES)
+    for spec in (
+        CopulaSpec("student", (NU, CORR)),
+        CopulaSpec("gaussian", (CORR,)),
+        CopulaSpec("plackett", (THETA,)),
+    ):
+        want = np.asarray(
+            msm_integrals(
+                bounds, fbs, fcombos, x, dx, dens, UNIQUE_VOLS, WEIGHTS, spec
+            )
+        )
+        cols = msm_day_columns(fbs, x, UNIQUE_VOLS, spec)
+        got = np.asarray(
+            msm_integrals_tcached(
+                bounds, cols, fcombos, x, dx, dens, WEIGHTS, spec,
+                day_batch=2,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+    xg, dxg = garch_grid(N_POINTS)
+    fvols = rng.uniform(0.7, 1.6, size=(T, 2))
+    specg = CopulaSpec("gaussian", (CORR,))
+    wantg = np.asarray(garch_integrals(bounds, fvols, xg, dxg, WEIGHTS, specg))
+    tcols, p_cols = garch_day_columns(fvols, xg, specg)
+    gotg = np.asarray(
+        garch_integrals_tcached(
+            bounds, tcols, p_cols, xg, dxg, WEIGHTS, specg, day_batch=3
+        )
+    )
+    np.testing.assert_allclose(gotg, wantg, rtol=1e-12)
+
+
+def test_transform_cached_matches_direct_dim3(rng):
+    """dim = 3: the transform cache is the production fast path (full day
+    tensors would be (T, n^3)); parity vs the direct engine."""
+    from copula_var_tpu.ops.quadrature import (
+        garch_day_columns,
+        garch_integrals_tcached,
+        msm_day_columns,
+        msm_integrals_tcached,
+    )
+
+    n = 12
+    dim, q, T = 3, 2, 5
+    uvols = np.sort(rng.uniform(0.5, 1.6, size=(dim, q)), axis=1)
+    x, dx = msm_grid(n)
+    dens = _normal_densities(uvols, x)
+    fbs = _fbs(rng, T, dim, q)
+    fcombos = np.einsum("ti,tj,tk->tijk", fbs[:, 0], fbs[:, 1], fbs[:, 2])
+    fcombos = fcombos.reshape(T, -1)
+    bounds = np.column_stack(
+        [np.full(T, -100.0), rng.uniform(-3.0, -1.0, size=T)]
+    )
+    w3 = np.array([0.4, 0.3, 0.3])
+    corr3 = np.array([[1.0, 0.4, 0.2], [0.4, 1.0, 0.3], [0.2, 0.3, 1.0]])
+    for spec in (
+        CopulaSpec("student", (NU, corr3)),
+        CopulaSpec("gaussian", (corr3,)),
+    ):
+        want = np.asarray(
+            msm_integrals(bounds, fbs, fcombos, x, dx, dens, uvols, w3, spec)
+        )
+        cols = msm_day_columns(fbs, x, uvols, spec)
+        got = np.asarray(
+            msm_integrals_tcached(
+                bounds, cols, fcombos, x, dx, dens, w3, spec, day_batch=2
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+
+        xg, dxg = garch_grid(n)
+        fvols = rng.uniform(0.7, 1.6, size=(T, dim))
+        wantg = np.asarray(garch_integrals(bounds, fvols, xg, dxg, w3, spec))
+        tcols, p_cols = garch_day_columns(fvols, xg, spec)
+        gotg = np.asarray(
+            garch_integrals_tcached(
+                bounds, tcols, p_cols, xg, dxg, w3, spec, day_batch=2
+            )
+        )
+        np.testing.assert_allclose(gotg, wantg, rtol=1e-12)
