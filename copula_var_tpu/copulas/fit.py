@@ -25,6 +25,7 @@ import numpy as np
 from scipy.optimize import minimize
 
 from copula_var_tpu.copulas import gaussian, plackett, student
+from copula_var_tpu.ops.solvers import golden_section_min
 
 NU_GRID = np.linspace(2.1, 30, 10)  # `student/opti.py:9`
 THETA_GRID = np.linspace(0.5, 50, 10)  # `plackett/opti.py:66`
@@ -67,28 +68,43 @@ def fit_gaussian(marginals, densities, tol=1e-9, max_iter=5000) -> GaussianFit:
     dim = marginals.shape[1]
     n_par = dim * (dim - 1) // 2
 
-    vag = jax.jit(
-        jax.value_and_grad(
-            lambda p: gaussian.negative_log_likelihood(
-                p, marginals, densities, dim
+    if dim == 2:
+        # 1-D in rho: the whole solve is ONE on-device golden-section scan
+        # (host L-BFGS costs a transport round trip per evaluation)
+        def f(rho):
+            return jax.vmap(
+                lambda r: gaussian.negative_log_likelihood(
+                    r[None], marginals, densities, dim
+                )
+            )(rho)
+
+        x, nll_v = golden_section_min(f, jnp.array([-0.99]), jnp.array([0.99]))
+        x = np.asarray(x)
+        nll = float(np.asarray(nll_v)[0])
+    else:
+        vag = jax.jit(
+            jax.value_and_grad(
+                lambda p: gaussian.negative_log_likelihood(
+                    p, marginals, densities, dim
+                )
             )
         )
-    )
-    res = minimize(
-        _scipy_fun(vag),
-        x0=np.full(n_par, 0.5),
-        jac=True,
-        method="L-BFGS-B",
-        bounds=[(-0.99, 0.99)] * n_par,
-        tol=tol,
-        options={"maxiter": max_iter},
-    )
+        res = minimize(
+            _scipy_fun(vag),
+            x0=np.full(n_par, 0.5),
+            jac=True,
+            method="L-BFGS-B",
+            bounds=[(-0.99, 0.99)] * n_par,
+            tol=tol,
+            options={"maxiter": max_iter},
+        )
+        x = res.x
+        nll = float(vag(jnp.asarray(res.x))[0])
     corr = np.eye(dim)
     iu = np.tril_indices(dim, k=-1)
-    corr[iu] = res.x
-    corr[(iu[1], iu[0])] = res.x
+    corr[iu] = x
+    corr[(iu[1], iu[0])] = x
     packed = corr[np.triu_indices(dim, k=1)]
-    nll = float(vag(jnp.asarray(res.x))[0])
     return GaussianFit(corr, nll, packed)
 
 
@@ -119,57 +135,73 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
             )
         )
     )
-    best_nll, best_corr_params = np.inf, np.full(n_par, 0.5)
-    for nu in nu_values:
-        nu_dev = jnp.asarray(float(nu))
-        z, fin, lus = precompute(marginals, nu_dev)
+    if dim == 2:
+        # 1-D in rho per nu: ALL nu-grid profiles run lockstep in ONE
+        # on-device golden-section scan (the transforms for every nu are
+        # precomputed in one vmapped t_ppf sweep)
+        nu_arr = jnp.asarray(np.asarray(nu_values, dtype=float))
+        z_b, fin_b, lus_b = jax.vmap(
+            lambda nu: student.precompute_transform(marginals, nu)
+        )(nu_arr)
 
-        def fun(xv, z=z, fin=fin, lus=lus, nu_dev=nu_dev):
-            v, g = vag_corr(jnp.asarray(xv), z, fin, lus, nu_dev)
-            v = float(v)
-            if not np.isfinite(v):
-                return 1e10, np.zeros(n_par)
-            return v, np.nan_to_num(np.asarray(g, dtype=float))
+        def f_rho(rho):  # (B,) -> (B,)
+            return jax.vmap(
+                lambda r, z, fi, lu, nu:
+                student.negative_log_likelihood_from_transform(
+                    r[None], z, fi, lu, nu, log_density_sum, dim
+                )
+            )(rho, z_b, fin_b, lus_b, nu_arr)
 
-        res = minimize(
-            fun,
-            x0=np.full(n_par, 0.5),
-            jac=True,
-            method="L-BFGS-B",
-            bounds=[(-0.99, 0.99)] * n_par,
-            tol=tol,
-            options={"maxiter": max_iter},
+        B = len(np.asarray(nu_values))
+        rho_star, nll_star = golden_section_min(
+            f_rho, jnp.full(B, -0.99), jnp.full(B, 0.99)
         )
-        nll = float(vag_corr(jnp.asarray(res.x), z, fin, lus, nu_dev)[0])
-        if nll < best_nll:
-            best_nll, best_corr_params = nll, res.x
+        nll_star = np.asarray(nll_star)
+        i = int(np.argmin(nll_star))
+        best_nll = float(nll_star[i])
+        best_corr_params = np.asarray(rho_star)[i : i + 1]
+    else:
+        best_nll, best_corr_params = np.inf, np.full(n_par, 0.5)
+        for nu in nu_values:
+            nu_dev = jnp.asarray(float(nu))
+            z, fin, lus = precompute(marginals, nu_dev)
 
-    # Stage 2: nu with best correlations, x0 = 10. JAX's betainc has no
-    # derivative w.r.t. its shape parameter (nu/2 inside t_ppf), so this
-    # 1-D solve uses scipy's finite differences on the jitted loss — the
-    # reference's gradient mode throughout (`student/opti.py:149-171`).
-    nll_nu = jax.jit(
-        lambda v: student.negative_log_likelihood(
-            jnp.concatenate([v, jnp.asarray(best_corr_params)]),
-            marginals,
-            densities,
-            dim,
-        )
+            def fun(xv, z=z, fin=fin, lus=lus, nu_dev=nu_dev):
+                v, g = vag_corr(jnp.asarray(xv), z, fin, lus, nu_dev)
+                v = float(v)
+                if not np.isfinite(v):
+                    return 1e10, np.zeros(n_par)
+                return v, np.nan_to_num(np.asarray(g, dtype=float))
+
+            res = minimize(
+                fun,
+                x0=np.full(n_par, 0.5),
+                jac=True,
+                method="L-BFGS-B",
+                bounds=[(-0.99, 0.99)] * n_par,
+                tol=tol,
+                options={"maxiter": max_iter},
+            )
+            nll = float(vag_corr(jnp.asarray(res.x), z, fin, lus, nu_dev)[0])
+            if nll < best_nll:
+                best_nll, best_corr_params = nll, res.x
+
+    # Stage 2: nu with best correlations (`student/opti.py:149-171`).
+    # 1-D and derivative-free (JAX's betainc has no nu-derivative), so it
+    # is a single on-device golden-section scan for every dim.
+    corr_fixed = jnp.asarray(best_corr_params)
+
+    def f_nu(nu_batch):  # (1,) -> (1,)
+        return jax.vmap(
+            lambda nu: student.negative_log_likelihood_fixed_nu(
+                corr_fixed, nu, marginals, densities, dim
+            )
+        )(nu_batch)
+
+    nu_star, _ = golden_section_min(
+        f_nu, jnp.array([float(nu_bounds[0])]), jnp.array([float(nu_bounds[1])])
     )
-
-    def fun_nu(x):
-        v = float(nll_nu(jnp.asarray(x)))
-        return v if np.isfinite(v) else 1e10
-
-    res_nu = minimize(
-        fun_nu,
-        x0=[10.0],
-        method="L-BFGS-B",
-        bounds=[tuple(nu_bounds)],
-        tol=tol,
-        options={"maxiter": max_iter},
-    )
-    nu_opt = float(res_nu.x[0])
+    nu_opt = float(np.asarray(nu_star)[0])
     corr = np.eye(dim)
     iu = np.tril_indices(dim, k=-1)
     corr[iu] = best_corr_params
@@ -185,22 +217,23 @@ def fit_plackett(marginals, densities, theta_range=None, tol=1e-9, max_iter=5000
     if theta_range is None:
         theta_range = THETA_GRID
 
-    vag = jax.jit(
-        jax.value_and_grad(
-            lambda t: plackett.negative_log_likelihood(t[0], marginals, densities)
-        )
+    # 1-D in theta: the reference's 10-start L-BFGS-B (`plackett/opti.py:
+    # 44-97`) becomes ONE on-device golden-section scan over 10 log-theta
+    # sub-brackets spanning [0.1, 1e4] — same multimodality coverage, no
+    # host round trips. (1e4 is far beyond any realistic dependence;
+    # theta_range only shapes the sub-bracket count for API parity.)
+    B = max(len(np.asarray(theta_range)), 2)
+    edges = np.exp(np.linspace(np.log(0.1), np.log(1e4), B + 1))
+
+    def f_theta(theta):  # (B,) -> (B,)
+        return jax.vmap(
+            lambda t: plackett.negative_log_likelihood(t, marginals, densities)
+        )(theta)
+
+    th, nll_v = golden_section_min(
+        f_theta, jnp.asarray(edges[:-1]), jnp.asarray(edges[1:])
     )
-    best_nll, best_theta = np.inf, None
-    for t0 in theta_range:
-        res = minimize(
-            _scipy_fun(vag),
-            x0=[float(t0)],
-            jac=True,
-            method="L-BFGS-B",
-            bounds=[(0.1, None)],
-            tol=tol,
-            options={"maxiter": max_iter},
-        )
-        if res.fun < best_nll:
-            best_nll, best_theta = float(res.fun), float(res.x[0])
+    nll_v = np.asarray(nll_v)
+    i = int(np.argmin(nll_v))
+    best_theta, best_nll = float(np.asarray(th)[i]), float(nll_v[i])
     return PlackettFit(best_theta, best_nll, np.array([best_theta]))

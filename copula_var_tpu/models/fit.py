@@ -21,6 +21,7 @@
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -47,22 +48,108 @@ class GarchFit(NamedTuple):
     params: np.ndarray  # packed [omega, alpha..., beta...]
 
 
-def _garch_nll_fns(returns, p, q):
+def _garch_nll(returns, params, p):
+    omega = params[0]
+    alpha = params[1 : p + 1]
+    beta = params[p + 1 :]
+    ok = jnp.sum(params[1:]) < 1.0
+    ll = garch_mod.log_likelihood(returns, omega, alpha, beta)
+    return jnp.where(ok, -ll, 1e10)
+
+
+@functools.partial(jax.jit, static_argnames=("p", "q", "max_iter"))
+def _newton_garch_device(returns, inits, p, q, max_iter, tol, eps):
+    """The ENTIRE multi-start Newton solve in one device program.
+
+    The reference's Newton (`garch/opti.py:139-166`) is a host loop of
+    finite-difference gradient/Hessian evaluations; a host loop around
+    jitted evals costs one transport round trip per iteration — fatal over
+    a remote-TPU link. Here the iteration (exact jax.grad/jax.hessian,
+    damped-Cholesky Newton step, backtracking line search, renormalize +
+    positivity projections) runs as a `lax.while_loop`, vmapped over the
+    multi-start batch: ONE dispatch per (p, q).
+
+    The Newton step uses damped Cholesky solves (H + mu I) with mu
+    escalated until factorization succeeds, instead of the reference's
+    `np.linalg.pinv` (`opti.py:150`) — TPU has no f64 SVD, and the damped
+    step with a line search is the standard robust alternative; the
+    optimum (where H is PD and mu -> 0) is unchanged.
+    """
     returns = jnp.asarray(returns)
+    nll = lambda x: _garch_nll(returns, x, p)
+    grad_f = jax.grad(nll)
+    hess_f = jax.hessian(nll)
+    m = 1 + p + q
+    eye = jnp.eye(m, dtype=returns.dtype)
+    floor = eps + 1e-7
 
-    def nll(params):
-        omega = params[0]
-        alpha = params[1 : p + 1]
-        beta = params[p + 1 :]
-        ok = jnp.sum(params[1:]) < 1.0
-        ll = garch_mod.log_likelihood(returns, omega, alpha, beta)
-        return jnp.where(ok, -ll, 1e10)
+    def newton_step(x):
+        g = grad_f(x)
+        h = hess_f(x)
+        h = jnp.where(jnp.isfinite(h), h, 0.0)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
 
-    return (
-        jax.jit(nll),
-        jax.jit(jax.grad(nll)),
-        jax.jit(jax.hessian(nll)),
-    )
+        def try_solve(mu):
+            L = jnp.linalg.cholesky(h + mu * eye)
+            ok = jnp.all(jnp.isfinite(L))
+            Ls = jnp.where(ok, L, eye)
+            y = jax.scipy.linalg.solve_triangular(Ls, g, lower=True)
+            d = jax.scipy.linalg.solve_triangular(Ls.T, y, lower=False)
+            return ok, -d
+
+        def damp_cond(c):
+            ok, _, mu = c
+            return (~ok) & (mu < 1e6)
+
+        def damp_body(c):
+            _, _, mu = c
+            mu_n = mu * 10.0
+            ok, d = try_solve(mu_n)
+            return ok, d, mu_n
+
+        ok0, d0 = try_solve(1e-10)
+        _, delta, _ = jax.lax.while_loop(
+            damp_cond, damp_body, (ok0, d0, jnp.asarray(1e-10, x.dtype))
+        )
+
+        # backtracking line search (capability fix, documented): halve
+        # until the NLL does not increase, floor applied as in the update
+        f_cur = nll(x)
+
+        def ls_cond(c):
+            t, _ = c
+            worse = nll(jnp.maximum(x + t * delta, floor)) > f_cur
+            return worse & (t > 1e-8)
+
+        def ls_body(c):
+            t, _ = c
+            return t * 0.5, x + t * 0.5 * delta
+
+        t, x_new = jax.lax.while_loop(ls_cond, ls_body, (1.0, x + delta))
+        s = jnp.sum(x_new[1:])
+        x_new = x_new.at[1:].set(
+            jnp.where(s > 1.0, x_new[1:] / s, x_new[1:])
+        )  # renormalize (`opti.py:158-162`)
+        x_new = jnp.maximum(x_new, floor)  # positivity floor (`:165`)
+        step_norm = jnp.linalg.norm(t * delta)
+        return x_new, step_norm
+
+    def solve_one(x0):
+        def cond(c):
+            _, it, norm = c
+            return (it < max_iter) & (norm >= tol)
+
+        def body(c):
+            x, it, _ = c
+            x_n, norm = newton_step(x)
+            return x_n, it + 1, norm
+
+        x, _, _ = jax.lax.while_loop(
+            cond, body, (x0, 0, jnp.asarray(jnp.inf, x0.dtype))
+        )
+        return x, nll(x)
+
+    return jax.vmap(solve_one)(inits)
 
 
 def fit_garch(
@@ -80,27 +167,26 @@ def fit_garch(
     for p in range(1, p_max + 1):
         for q in range(1, q_max + 1):
             ab = 0.5 / (p + q)
-            f, g, h = _garch_nll_fns(returns, p, q)
             # Multi-start: the reference's single init (`opti.py:103-104`)
             # frequently lands in the constant-variance local minimum; a
             # persistence-style init (high beta) and a low-omega init cost
-            # three cheap jitted solves and dominate it.
+            # two extra rows in the vmapped device solve and dominate it.
             var = float(np.var(returns))
-            inits = [
-                np.array([0.1] + [ab] * (p + q)),
-                np.array(
-                    [0.05 * var] + [0.1 / p] * p + [0.85 / q] * q
-                ),
-                np.array([0.01 * var] + [0.05 / p] * p + [0.9 / q] * q),
-            ]
-            x_best, nll_best = None, np.inf
-            for x in inits:
-                x = _newton_garch(x, f, g, h, max_iter, tol, eps)
-                nll_x = float(f(x))
-                if nll_x < nll_best:
-                    x_best, nll_best = x, nll_x
-            x = x_best
-            nll = nll_best
+            inits = np.stack(
+                [
+                    np.array([0.1] + [ab] * (p + q)),
+                    np.array(
+                        [0.05 * var] + [0.1 / p] * p + [0.85 / q] * q
+                    ),
+                    np.array([0.01 * var] + [0.05 / p] * p + [0.9 / q] * q),
+                ]
+            )
+            xs, nlls = _newton_garch_device(
+                returns, jnp.asarray(inits), p, q, max_iter, tol, eps
+            )
+            xs, nlls = np.asarray(xs), np.asarray(nlls)
+            i = int(np.argmin(nlls))
+            x, nll = xs[i], float(nlls[i])
             num_params = 1 + p + q
             bic = 2.0 * nll + num_params * np.log(n_obs)
             if best is None or bic < best.bic:
@@ -109,34 +195,6 @@ def fit_garch(
                     nll, bic, x.copy(),
                 )
     return best
-
-
-def _newton_garch(x, f, g, h, max_iter, tol, eps):
-    for _ in range(max_iter):
-        grad = np.asarray(g(x))
-        hess = np.asarray(h(x))
-        if not np.all(np.isfinite(hess)):
-            break
-        delta = -np.linalg.pinv(hess) @ grad
-        # Backtracking line search: the reference's raw Newton step
-        # (`opti.py:154-156`) can jump into the sum >= 1 penalty
-        # region and stall there with zero gradients; halving the
-        # step until the NLL does not increase keeps the iteration
-        # inside the feasible basin (capability fix, documented).
-        f_cur = float(f(x))
-        t = 1.0
-        x_new = x + delta
-        while float(f(np.maximum(x_new, eps + 1e-7))) > f_cur and t > 1e-8:
-            t *= 0.5
-            x_new = x + t * delta
-        x = x_new
-        s = np.sum(x[1:])
-        if s > 1:
-            x[1:] = x[1:] / s  # renormalize (`opti.py:158-162`)
-        x = np.maximum(x, eps + 1e-7)  # positivity floor (`:165`)
-        if np.linalg.norm(t * delta) < tol:
-            break
-    return x
 
 
 # ---------------------------------------------------------------------------
@@ -193,7 +251,6 @@ def fit_msm(
     n_starts = len(b_values)
     sample_var = float(np.var(returns))
     n = len(returns)
-    rng = np.random.default_rng(seed)
     r_dev = jnp.asarray(returns)
 
     @jax.jit
@@ -206,34 +263,72 @@ def fit_msm(
         return -ll + reg
 
     lo, hi = bounds[:, 0], bounds[:, 1]
-    cur = np.tile(np.array([0.5, 10.0, 0.5]), (n_starts, 1))
-    cur[:, 1] = b_values
-    cur_nll = np.asarray(batch_nll(jnp.asarray(cur)))
-    steps = np.full(n_starts, step_size)
-    stall = np.zeros(n_starts, dtype=int)
-    patience = 10
+    cur0 = np.tile(np.array([0.5, 10.0, 0.5]), (n_starts, 1))
+    cur0[:, 1] = b_values
 
-    for _ in range(basin_iter):
-        noise = rng.standard_normal((n_starts, 3))
-        prop = np.clip(cur + noise * steps[:, None] * (hi - lo)[None, :], lo, hi)
-        prop_nll = np.asarray(batch_nll(jnp.asarray(prop)))
-        better = prop_nll < cur_nll
-        cur = np.where(better[:, None], prop, cur)
-        cur_nll = np.where(better, prop_nll, cur_nll)
-        steps = np.where(better, steps * 0.9, steps)
-        stall = np.where(better, 0, stall + 1)
-        hit = stall >= patience
-        if np.any(hit):
-            steps = np.where(hit, steps * 1.1, steps)
-            stall = np.where(hit, 0, stall)
-            # reinitialize parameters sitting near a bound (`opti.py:29-36`)
-            span = hi - lo
-            near = (cur <= lo + 0.01 * span) | (cur >= hi - 0.01 * span)
-            near &= hit[:, None]
-            if near.any():
-                fresh = rng.uniform(lo + 0.1 * span, hi - 0.1 * span, cur.shape)
-                cur = np.where(near, fresh, cur)
-                cur_nll = np.asarray(batch_nll(jnp.asarray(cur)))
+    # The entire basin-hopping loop runs as ONE device program (the host
+    # version costs a transport round trip per hop over a remote TPU).
+    # The perturbation stream uses jax.random; stochastic trajectories are
+    # not host-reproducible, parity is at the likelihood-kernel level.
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def basin_device(cur, lo_d, hi_d, step0, key, iters):
+        patience = 10
+        span = hi_d - lo_d
+
+        def body(_, c):
+            cur, cur_nll, steps, stall, key = c
+            key, k1, k2 = jax.random.split(key, 3)
+            noise = jax.random.normal(k1, cur.shape, dtype=cur.dtype)
+            prop = jnp.clip(
+                cur + noise * steps[:, None] * span[None, :], lo_d, hi_d
+            )
+            prop_nll = batch_nll(prop)
+            better = prop_nll < cur_nll
+            cur = jnp.where(better[:, None], prop, cur)
+            cur_nll = jnp.where(better, prop_nll, cur_nll)
+            steps = jnp.where(better, steps * 0.9, steps)
+            stall = jnp.where(better, 0, stall + 1)
+            hit = stall >= patience
+
+            def on_hit(cur, cur_nll, steps, stall):
+                steps = jnp.where(hit, steps * 1.1, steps)
+                stall = jnp.where(hit, 0, stall)
+                # reinit params near a bound (`opti.py:29-36`)
+                near = (cur <= lo_d + 0.01 * span) | (cur >= hi_d - 0.01 * span)
+                near &= hit[:, None]
+                fresh = jax.random.uniform(
+                    k2, cur.shape, dtype=cur.dtype,
+                    minval=lo_d + 0.1 * span, maxval=hi_d - 0.1 * span,
+                )
+                cur_n = jnp.where(near, fresh, cur)
+                changed = jnp.any(near, axis=1)
+                nll_n = jnp.where(changed, batch_nll(cur_n), cur_nll)
+                return cur_n, nll_n, steps, stall
+
+            cur, cur_nll, steps, stall = jax.lax.cond(
+                jnp.any(hit),
+                on_hit,
+                lambda cur, cur_nll, steps, stall: (cur, cur_nll, steps, stall),
+                cur, cur_nll, steps, stall,
+            )
+            return cur, cur_nll, steps, stall, key
+
+        init = (
+            cur,
+            batch_nll(cur),
+            jnp.full((cur.shape[0],), step0, dtype=cur.dtype),
+            jnp.zeros((cur.shape[0],), dtype=jnp.int32),
+            key,
+        )
+        cur, cur_nll, _, _, _ = jax.lax.fori_loop(0, iters, body, init)
+        return cur, cur_nll
+
+    cur_d, nll_d = basin_device(
+        jnp.asarray(cur0), jnp.asarray(lo), jnp.asarray(hi), step_size,
+        jax.random.PRNGKey(seed), iters=basin_iter,
+    )
+    cur = np.array(cur_d)  # writable copies (polish below mutates rows)
+    cur_nll = np.array(nll_d)
 
     # Gradient polish (TPU-native addition): the MSM likelihood is smooth in
     # (m_0, b, gamma), so finish the top starts with L-BFGS-B on exact JAX
@@ -332,71 +427,132 @@ def fit_ukf_em(
     trajectory.
     """
     returns = np.asarray(returns, dtype=float)
-    rng = np.random.default_rng(seed)
-    r_dev = jnp.asarray(returns)
+    best_p, best_ll = _ukf_em_device(
+        jnp.asarray(returns), a0, l0, q0, tol, perturb_scale,
+        jax.random.PRNGKey(seed), max_iter, restart_attempts,
+    )
+    best_p = np.asarray(best_p)
+    return UkfFit(
+        float(best_p[0]), float(best_p[1]), float(best_p[2]), float(best_ll)
+    )
 
-    @jax.jit
-    def run_filter(a, l, q):
-        means, _, ll, _, valid = ukf_mod.filter_series(r_dev, a, l, q)
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "restart_attempts")
+)
+def _ukf_em_device(returns, a0, l0, q0, tol, perturb_scale, key, max_iter,
+                   restart_attempts):
+    """The ENTIRE EM loop — E-step filter, closed-form M-steps, rejection
+    perturbation, convergence + restart sweep — as one `lax.while_loop`
+    device program (one dispatch per fit instead of one per EM iteration;
+    a host-driven loop costs a transport round trip per iteration on a
+    remote TPU). The perturbation stream uses jax.random instead of the
+    host Generator, so the stochastic trajectory differs from a host run;
+    parity for this optimizer is at the likelihood-kernel level
+    (SURVEY §7d)."""
+    dt = returns.dtype
+
+    def e_step(p):
+        means, _, ll, _, valid = ukf_mod.filter_series(
+            returns, p[0], p[1], p[2]
+        )
         return means, ll, valid
 
-    def e_step(params):
-        a, l, q = params
-        means, ll, valid = run_filter(a, l, q)
-        return np.asarray(means), float(ll), bool(valid)
-
-    def perturb(params):
-        p = params.copy()
-        while True:
-            p[0] = np.clip(
-                p[0] + rng.uniform(-perturb_scale, perturb_scale),
-                0.5,
-                0.999999,
+    def perturb(p, key):
+        # mutate a cumulatively until the filter runs valid
+        # (`optimize.py:55-76`)
+        def body(c):
+            p_, key_, _, _ = c
+            key_, sub = jax.random.split(key_)
+            da = jax.random.uniform(
+                sub, (), dtype=dt, minval=-perturb_scale,
+                maxval=perturb_scale,
             )
-            state, ll, valid = e_step(p)
-            if valid:
-                break
-        a = p[0]
-        q = float(np.std(state) * np.sqrt(1 - a**2))
-        l = float(q**2 / (2 * (1 - a**2)))
-        return np.array([a, l, q])
+            p_n = p_.at[0].set(jnp.clip(p_[0] + da, 0.5, 0.999999))
+            state, _, valid = e_step(p_n)
+            return p_n, key_, valid, state
 
-    params = np.array([a0, l0, q0], dtype=float)
-    best_ll, best_params = -np.inf, params.copy()
+        c0 = body((p, key, False, returns))
+        p2, key2, _, state2 = jax.lax.while_loop(
+            lambda c: ~c[2], body, c0
+        )
+        a = p2[0]
+        q = jnp.std(state2) * jnp.sqrt(1.0 - a * a)
+        l = q * q / (2.0 * (1.0 - a * a))
+        return jnp.stack([a, l, q]), key2
 
-    for _ in range(max_iter):
-        state, ll, valid = e_step(params)
-        if not valid:
-            params = perturb(params)
-            continue
-        if abs(ll - best_ll) < tol:
-            if ll > best_ll:
-                best_ll, best_params = ll, params.copy()
-            improved = False
-            for _ in range(restart_attempts):
-                cand = perturb(best_params.copy())
-                _, cll, cvalid = e_step(cand)
-                if cvalid and cll > best_ll:
-                    best_ll, best_params, improved = cll, cand.copy(), True
-            if not improved:
-                break
-            params = best_params.copy()
-            continue
-        if ll > best_ll:
-            best_ll, best_params = ll, params.copy()
+    def on_invalid(params, best_ll, best_p, key, state, ll):
+        p_n, key_n = perturb(params, key)
+        return p_n, best_ll, best_p, key_n, jnp.asarray(False)
+
+    def on_converged(params, best_ll, best_p, key, state, ll):
+        bl = jnp.maximum(best_ll, ll)
+        bp = jnp.where(ll > best_ll, params, best_p)
+
+        def sweep(_, cc):
+            bl_, bp_, key_, improved = cc
+            cand, key_n = perturb(bp_, key_)
+            _, cll, cvalid = e_step(cand)
+            better = cvalid & (cll > bl_)
+            return (
+                jnp.where(better, cll, bl_),
+                jnp.where(better, cand, bp_),
+                key_n,
+                improved | better,
+            )
+
+        bl2, bp2, key2, improved = jax.lax.fori_loop(
+            0, restart_attempts, sweep, (bl, bp, key, jnp.asarray(False))
+        )
+        return bp2, bl2, bp2, key2, ~improved
+
+    def on_update(params, best_ll, best_p, key, state, ll):
+        bl = jnp.maximum(best_ll, ll)
+        bp = jnp.where(ll > best_ll, params, best_p)
         a = params[0]
-        q_new = float(np.std(state) * np.sqrt(1 - a**2))
-        l_new = float(q_new**2 / (2 * (1 - a**2)))
+        q_new = jnp.std(state) * jnp.sqrt(1.0 - a * a)
+        l_new = q_new * q_new / (2.0 * (1.0 - a * a))
         shifted = state - a * l_new
-        denom = float(np.sum(shifted[:-1] ** 2))
-        a_ols = float(np.sum(shifted[:-1] * shifted[1:]) / denom) if denom else 0.01
-        a_new = float(np.clip(a_ols, 0.5, 0.99))
-        if params[0] == a_new:
-            params = perturb(best_params.copy())
-        else:
-            params = np.array([a_new, l_new, q_new])
+        denom = jnp.sum(shifted[:-1] ** 2)
+        a_ols = jnp.where(
+            denom > 0.0,
+            jnp.sum(shifted[:-1] * shifted[1:]) / jnp.where(denom > 0.0, denom, 1.0),
+            0.01,
+        )
+        a_new = jnp.clip(a_ols, 0.5, 0.99)
+        stuck = params[0] == a_new
+        p_pert, key_n = perturb(bp, key)
+        p_em = jnp.stack([a_new, l_new, q_new])
+        params_n = jnp.where(stuck, p_pert, p_em)
+        return params_n, bl, bp, key_n, jnp.asarray(False)
 
-    return UkfFit(
-        float(best_params[0]), float(best_params[1]), float(best_params[2]),
-        float(best_ll),
+    def body(c):
+        params, best_ll, best_p, key, it, done = c
+        state, ll, valid = e_step(params)
+        converged = jnp.abs(ll - best_ll) < tol
+        params_n, bl, bp, key_n, done_n = jax.lax.cond(
+            valid,
+            lambda: jax.lax.cond(
+                converged,
+                lambda: on_converged(params, best_ll, best_p, key, state, ll),
+                lambda: on_update(params, best_ll, best_p, key, state, ll),
+            ),
+            lambda: on_invalid(params, best_ll, best_p, key, state, ll),
+        )
+        return params_n, bl, bp, key_n, it + 1, done_n
+
+    p0 = jnp.stack(
+        [jnp.asarray(a0, dt), jnp.asarray(l0, dt), jnp.asarray(q0, dt)]
     )
+    init = (
+        p0,
+        jnp.asarray(-jnp.inf, dtype=dt),
+        p0,
+        key,
+        jnp.asarray(0),
+        jnp.asarray(False),
+    )
+    _, best_ll, best_p, _, _, _ = jax.lax.while_loop(
+        lambda c: (~c[5]) & (c[4] < max_iter), body, init
+    )
+    return best_p, best_ll

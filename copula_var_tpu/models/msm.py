@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -115,6 +117,7 @@ def _transition_apply(k: int, b, gamma, dense: bool):
     return lambda v: kron_transition_matvec(p, v)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "dense"))
 def filter_states(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
     """Hamilton filter (`calc_state_prob_numba`, `calc_prob.py:7-32`).
 
@@ -148,6 +151,7 @@ def filter_states(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
     return states, cond, log_norms, valid
 
 
+@functools.partial(jax.jit, static_argnames=("k", "dense"))
 def log_likelihood(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
     """MSM log-likelihood: sum_{i=1}^{N-1} log((P pi_{i-1}) . c_i)
     (`calc_likelihood_numba`, `calc_prob.py:35-47`); -inf on any
@@ -168,6 +172,7 @@ def state_marginals(k: int, m_0, sigma, returns):
     return norm_cdf(eps), eps
 
 
+@functools.partial(jax.jit, static_argnames=("k", "dense"))
 def marginals(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
     """Predictive marginals with the reference's alignment shift
     (`calc_marginals.py:7-18`): F_t = sum_s pi_{t}(s) Phi(r_{t-1}/sigma_s)
@@ -180,6 +185,7 @@ def marginals(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
     return marg, eps, vol_states(k, m_0, sigma)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "dense"))
 def densities(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
     """Predictive densities, same shift (`calc_marginals.py:21-30`).
     Shape (N-1,)."""
@@ -187,6 +193,7 @@ def densities(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
     return jnp.sum(states[1:, :] * cond[:-1, :], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "dense"))
 def forecast_state_distribution(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
     """Last filtered state distribution pi_T (`calc_marginals.py:33-38`).
     Shape (2^k,)."""
@@ -199,6 +206,7 @@ def forecast_state_distribution(k: int, m_0, sigma, b, gamma, returns, *, dense=
 # ---------------------------------------------------------------------------
 
 
+@functools.partial(jax.jit, static_argnames=("k", "n"))
 def simulate(key, k: int, m_0, sigma, b, gamma, n: int):
     """Simulate an MSM series. Returns (returns (n,), vol (n,), eps (n,),
     components (n+1, k)).
@@ -230,11 +238,16 @@ def simulate(key, k: int, m_0, sigma, b, gamma, n: int):
 # Batched conveniences -------------------------------------------------------
 
 #: likelihood vmapped over a leading batch of (m_0, sigma, b, gamma).
-log_likelihood_batch = jax.vmap(
-    log_likelihood, in_axes=(None, 0, 0, 0, 0, None)
+log_likelihood_batch = jax.jit(
+    jax.vmap(log_likelihood, in_axes=(None, 0, 0, 0, 0, None)),
+    static_argnames=("k",),
 )
 
 #: forecast distribution vmapped over rolling windows (T, N).
-forecast_windows = jax.vmap(
-    forecast_state_distribution, in_axes=(None, None, None, None, None, 0)
+forecast_windows = jax.jit(
+    jax.vmap(
+        forecast_state_distribution,
+        in_axes=(None, None, None, None, None, 0),
+    ),
+    static_argnames=("k",),
 )

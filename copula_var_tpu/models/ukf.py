@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -61,6 +63,7 @@ def _weights(alpha=ALPHA, beta=BETA, kappa=KAPPA):
     return wm0, wc0, w_rest, phi
 
 
+@jax.jit
 def filter_series(returns, a, l, q, init_log_vol=None, init_var=None):
     """Run the UKF over `returns`.
 
@@ -130,29 +133,34 @@ def filter_series(returns, a, l, q, init_log_vol=None, init_var=None):
     return means, variances, ll, priors[-1], valid
 
 
+@jax.jit
 def log_likelihood(returns, a, l, q):
     """Filter log-likelihood Sum log|Z_t| (`estimate.py:276`)."""
     _, _, ll, _, _ = filter_series(returns, a, l, q)
     return ll
 
 
+@jax.jit
 def vol_path(returns, a, l, q):
     """exp(filtered state) (`sto_vol_estimation`, `estimate.py:46-48`)."""
     means, _, _, _, _ = filter_series(returns, a, l, q)
     return jnp.exp(means)
 
 
+@jax.jit
 def standardized_residuals(returns, a, l, q):
     """eps_t = r_t / exp(x_t) (`calc_eps_t`, `estimate.py:50-51`)."""
     return jnp.asarray(returns) / vol_path(returns, a, l, q)
 
 
+@jax.jit
 def forecast_vol(returns, a, l, q):
     """One-step vol forecast exp(last prior mean) (`forecast.py:5-12`)."""
     _, _, _, fc, _ = filter_series(returns, a, l, q)
     return jnp.exp(fc)
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
 def simulate(key, a, l, q, n):
     """OU log-vol simulator (`generate.py:18-32`): X_0 = l,
     X_t = a (X_{t-1} - l) + l + q N(0,1); vol = e^X; r = vol * N(0,1).
@@ -175,7 +183,11 @@ def simulate(key, a, l, q, n):
 # Batched conveniences -------------------------------------------------------
 
 #: likelihood vmapped over (a, l, q) candidates.
-log_likelihood_batch = jax.vmap(log_likelihood, in_axes=(None, 0, 0, 0))
+log_likelihood_batch = jax.jit(
+    jax.vmap(log_likelihood, in_axes=(None, 0, 0, 0))
+)
 
 #: forecast vmapped over rolling windows (T, N).
-forecast_vol_windows = jax.vmap(forecast_vol, in_axes=(0, None, None, None))
+forecast_vol_windows = jax.jit(
+    jax.vmap(forecast_vol, in_axes=(0, None, None, None))
+)

@@ -1,0 +1,49 @@
+"""On-device scalar minimization for the IFM fitting schedules.
+
+The reference drives every copula fit through scipy's host-side L-BFGS-B
+(`copulas/*/opti.py`), which costs one host<->device round trip per loss
+evaluation — fatal over a remote-TPU transport (~30 ms/call). For the
+framework's flagship dim = 2 configuration every stage of the IFM
+schedule is a ONE-DIMENSIONAL smooth problem (rho per nu, then nu, or
+theta), so the whole staged schedule collapses to batched golden-section
+scans that run as a single device program.
+
+`golden_section_min` is the two-probe batched variant: each iteration
+evaluates the objective at both interior points and shrinks every
+bracket in the batch by the golden ratio — 90 iterations contract the
+bracket by ~1e-19, i.e. to fp64 exactness on any unimodal objective.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_GR = 0.6180339887498949  # (sqrt(5) - 1) / 2
+
+
+@functools.partial(jax.jit, static_argnames=("fn", "iters"))
+def golden_section_min(fn, lo, hi, iters: int = 90):
+    """Batched golden-section minimization.
+
+    fn: (B,) -> (B,) jittable objective; lo/hi: (B,) bracket endpoints.
+    Returns (x (B,), fn(x) (B,)) with x the bracket midpoint after
+    `iters` contractions.
+    """
+    lo = jnp.asarray(lo, dtype=float)
+    hi = jnp.asarray(hi, dtype=float)
+
+    def body(_, st):
+        a, b = st
+        m1 = b - _GR * (b - a)
+        m2 = a + _GR * (b - a)
+        f1 = fn(m1)
+        f2 = fn(m2)
+        keep_left = f1 < f2
+        return jnp.where(keep_left, a, m1), jnp.where(keep_left, m2, b)
+
+    a, b = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    x = 0.5 * (a + b)
+    return x, fn(x)
