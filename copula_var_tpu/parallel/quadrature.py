@@ -205,29 +205,11 @@ def grid_sharded_garch_integrals(mesh: Mesh, bounds, forecast_vols, x, dx,
 
 def _transform_columns(u, spec: CopulaSpec):
     """Per-coordinate copula pre-transforms on a (T, n) marginal-CDF array
-    — everything ppf-shaped runs here, outside shard_map."""
-    from jax.scipy.special import gammaln
+    — everything ppf-shaped runs here, outside shard_map. Delegates to the
+    quadrature engine's (shape-agnostic, elementwise) transform."""
+    from copula_var_tpu.ops.quadrature import transform_u_columns
 
-    from copula_var_tpu.ops.special import norm_ppf, t_ppf
-
-    if spec.kind == "plackett":
-        return (u,)
-    if spec.kind == "gaussian":
-        return (norm_ppf(u),)
-    if spec.kind == "student":
-        nu, _ = spec.params
-        nu = jnp.asarray(nu, dtype=u.dtype)
-        zr = t_ppf(u, nu)
-        fin = jnp.isfinite(zr)
-        z = jnp.where(fin, zr, 0.0)
-        log_uni = (
-            gammaln((nu + 1.0) / 2.0)
-            - gammaln(nu / 2.0)
-            - 0.5 * jnp.log(nu * jnp.pi)
-            - ((nu + 1.0) / 2.0) * jnp.log1p(z * z / nu)
-        )
-        return (z, fin, log_uni)
-    raise ValueError(f"unknown copula kind: {spec.kind}")
+    return transform_u_columns(u, spec)
 
 
 def _chunk_copula_from_transformed(c0, c1, spec: CopulaSpec):
