@@ -11,6 +11,10 @@ Usage: python benchmarks/scaling.py [--points 100] [--days 512]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 import time
 

@@ -10,6 +10,10 @@ Usage: python benchmarks/var_solve.py [--days 500] [--points 100]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--plot", default=None, help="output PNG path")
     ap.add_argument("--quick", action="store_true",
                     help="tiny problem + cheap optimizers (smoke run)")
+    ap.add_argument("--engine", default="xla", choices=("xla", "pallas"),
+                    help="quadrature/solver engine (pallas = fused f32 "
+                         "TPU kernels, dim 2 only)")
     args = ap.parse_args()
 
     from copula_var_tpu import data as data_mod
@@ -58,6 +61,7 @@ def main():
             copula_type="student",
             n_insample=data.n_insample,
             num_points=24 if args.quick else args.num_points,
+            engine=args.engine,
         )
         cfg.solver.obj_var = args.obj_var
         cfg.msm.k = 2 if args.quick else args.k
