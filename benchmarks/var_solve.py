@@ -23,6 +23,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--days", type=int, default=500)
     ap.add_argument("--points", type=int, default=100)
+    ap.add_argument("--insample", type=int, default=1135,
+                    help="in-sample days (the fit stage; the solve-stage "
+                         "rate is insensitive to this)")
     ap.add_argument("--copula", default="student")
     ap.add_argument("--engine", default="both")
     ap.add_argument("--reps", type=int, default=3)
@@ -33,9 +36,9 @@ def main():
     from copula_var_tpu.backtest import create_var_backtest
     from copula_var_tpu.data import synthetic_dataset
 
-    total = 1135 + args.days
+    total = args.insample + args.days
     data = synthetic_dataset(
-        jax.random.PRNGKey(0), total, 1135, spec=("garch", "garch")
+        jax.random.PRNGKey(0), total, args.insample, spec=("garch", "garch")
     )
     engines = ["xla", "pallas"] if args.engine == "both" else [args.engine]
     if "pallas" in engines and jax.devices()[0].platform != "tpu":
