@@ -527,20 +527,13 @@ class VaRBacktest:
 
     # -- VaR solve --------------------------------------------------------
 
-    def calc_var(self, obj_var=0.05, first_guess=-3.0, second_guess=(-3.5, -2.0),
-                 tolerance=1e-6, min_var_value=-7.5, max_var_value=0.0,
-                 verbose=False):
-        """3-stage VaR solve (`calc_var_class.py:95-177,250-309`), exact
-        logic: initial slab [-100, first_guess], one refinement slab, then
-        whole-array bisection to `tolerance`, + ptf_mean. Defaults match
-        the reference's hard-coded bracket (`calc_var_class.py:111-112`)."""
+    def _bracket(self, obj_var, results, first_guess, second_guess,
+                 min_var_value, max_var_value):
+        """Stage-2 refinement + bisection-state setup for one confidence
+        level (`calc_var_class.py:125-155`), given the shared stage-1 CDF
+        at `first_guess`. Returns (bis_bounds, result_current, upper_stack,
+        prev_upper, nan_days)."""
         T = self.data.out_sample_n
-
-        t0 = time.time()
-        lower, upper = -100.0, first_guess
-        bounds = np.column_stack((np.full(T, lower), np.full(T, upper)))
-        results = self.compute_integral(bounds)
-
         new_lower = np.where(results >= obj_var, second_guess[0], first_guess)
         new_upper = np.where(results < obj_var, second_guess[1], first_guess)
         bounds = np.column_stack((new_lower, new_upper))
@@ -556,7 +549,7 @@ class VaRBacktest:
         )
         new_result = self.compute_integral(bounds)
         result_current = self.adjust_integral(
-            new_result, results, bounds, np.full(T, upper)
+            new_result, results, bounds, np.full(T, first_guess)
         )
         upper = bounds[:, 1]
 
@@ -583,6 +576,24 @@ class VaRBacktest:
 
         upper = bis[:, 1]
         upper_stack = ~np.isin(upper, list(second_guess))
+        return bis, result_current, upper_stack, prev_upper, nan_days
+
+    def calc_var(self, obj_var=0.05, first_guess=-3.0, second_guess=(-3.5, -2.0),
+                 tolerance=1e-6, min_var_value=-7.5, max_var_value=0.0,
+                 verbose=False):
+        """3-stage VaR solve (`calc_var_class.py:95-177,250-309`), exact
+        logic: initial slab [-100, first_guess], one refinement slab, then
+        whole-array bisection to `tolerance`, + ptf_mean. Defaults match
+        the reference's hard-coded bracket (`calc_var_class.py:111-112`)."""
+        T = self.data.out_sample_n
+
+        t0 = time.time()
+        bounds = np.column_stack((np.full(T, -100.0), np.full(T, first_guess)))
+        results = self.compute_integral(bounds)
+        bis, result_current, upper_stack, prev_upper, nan_days = self._bracket(
+            obj_var, results, first_guess, second_guess, min_var_value,
+            max_var_value,
+        )
 
         if self.engine == "pallas":
             self._cached_integral_fn()  # builds self._cached_tensors
@@ -602,6 +613,64 @@ class VaRBacktest:
             )
         # a day whose CDF is NaN has no solvable quantile: surface NaN
         # loudly instead of an arbitrary bisection fixed point
+        final = np.where(nan_days, np.nan, final)
+        self.solve_seconds = time.time() - t0
+        return final + self.data.ptf_mean
+
+    def calc_var_levels(self, obj_vars=(0.01, 0.025, 0.05),
+                        first_guess=-3.0, second_guess=(-3.5, -2.0),
+                        tolerance=1e-6, min_var_value=-7.5,
+                        max_var_value=0.0, verbose=False):
+        """VaR at MULTIPLE confidence levels in one batched solve ->
+        (L, T) array, row l = `calc_var(obj_vars[l])`.
+
+        The stage-1 CDF sweep is shared across levels (the slab
+        [-100, first_guess] does not depend on obj_var); each level gets
+        its own stage-2 refinement; then ALL levels' bisections run
+        batched — engine='pallas' solves every level against the same
+        VMEM-resident day tensor in ONE kernel launch, engine='xla' runs
+        one `lax.while_loop` over the (L, T) state. Per-(level, day)
+        semantics identical to `calc_var`.
+        """
+        T = self.data.out_sample_n
+        obj_vars = np.atleast_1d(np.asarray(obj_vars, dtype=np.float64))
+        L = obj_vars.shape[0]
+
+        t0 = time.time()
+        bounds = np.column_stack((np.full(T, -100.0), np.full(T, first_guess)))
+        results = self.compute_integral(bounds)
+        states = [
+            self._bracket(ov, results, first_guess, second_guess,
+                          min_var_value, max_var_value)
+            for ov in obj_vars
+        ]
+        bis = np.stack([s[0] for s in states])  # (L, T, 2)
+        prev_result = np.stack([s[1] for s in states])  # (L, T)
+        upper_stack = np.stack([s[2] for s in states])
+        prev_upper = np.stack([s[3] for s in states])
+        nan_days = np.stack([s[4] for s in states])
+
+        if self.engine == "pallas":
+            self._cached_integral_fn()  # builds self._cached_tensors
+            final = self._bisection_pallas_fused_levels(
+                obj_vars, bis, prev_result, upper_stack, prev_upper,
+                tolerance,
+            )
+        elif self._cached_integral_fn() is not None:
+            final = self._bisection_device_levels(
+                obj_vars, bis, prev_result, upper_stack, prev_upper,
+                tolerance,
+            )
+        else:
+            final = np.stack(
+                [
+                    self._bisection(
+                        obj_vars[i], bis[i], prev_result[i], upper_stack[i],
+                        prev_upper[i], tolerance, verbose,
+                    )
+                    for i in range(L)
+                ]
+            )
         final = np.where(nan_days, np.nan, final)
         self.solve_seconds = time.time() - t0
         return final + self.data.ptf_mean
@@ -634,6 +703,85 @@ class VaRBacktest:
         return garch_solve_pallas(
             tensors, inputs.x, inputs.dx, self.data.weights, **common,
         )
+
+    def _bisection_pallas_fused_levels(self, obj_vars, bisection_bounds,
+                                       prev_result, upper_stack, prev_upper,
+                                       tolerance):
+        """All L confidence levels' bisections in ONE Pallas launch: each
+        day tensor streams HBM -> VMEM once and every level solves against
+        the resident copy (`ops/pallas_solver.py`)."""
+        from copula_var_tpu.ops.pallas_solver import (
+            garch_solve_pallas_levels,
+            msm_solve_pallas_levels,
+        )
+
+        inputs = self.integration_inputs
+        tensors = self._cached_tensors
+        interpret = jax.devices()[0].platform != "tpu"
+        common = dict(
+            lower=bisection_bounds[:, :, 0], upper=bisection_bounds[:, :, 1],
+            prev_result=prev_result, prev_upper=prev_upper,
+            upper_stack=upper_stack, obj_vars=obj_vars, tolerance=tolerance,
+            box_min=self.box[0], interpret=interpret,
+        )
+        if isinstance(inputs, MsmIntegrationInputs):
+            return msm_solve_pallas_levels(
+                tensors, inputs.forecast_combos, inputs.x, inputs.dx,
+                inputs.densities, self.data.weights, **common,
+            )
+        return garch_solve_pallas_levels(
+            tensors, inputs.x, inputs.dx, self.data.weights, **common,
+        )
+
+    def _bisection_device_levels(self, obj_vars, bisection_bounds,
+                                 prev_result, upper_stack, prev_upper,
+                                 tolerance):
+        """Batched-level on-device bisection: ONE `lax.while_loop` over the
+        (L, T) state. The per-level all-zeros early break freezes that
+        level's rows only (matching `calc_var` level by level); a level
+        whose bracket has converged keeps halving, which is a no-op within
+        `tolerance`."""
+        integral = self._cached_integral_fn()
+        obj = jnp.asarray(obj_vars)[:, None]  # (L, 1)
+
+        def cond(state):
+            lower, upper, _, _, _, brk = state
+            return jnp.any((upper - lower > tolerance) & ~brk[:, None])
+
+        def body(state):
+            lower, upper, prev_res, prev_up, ustack, brk = state
+            mid = (lower + upper) / 2.0
+            b_lo = jnp.where(ustack, lower, mid)
+            b_up = jnp.where(ustack, mid, upper)
+            bounds = jnp.stack((b_lo, b_up), axis=-1)  # (L, T, 2)
+            mid_result = jax.vmap(integral)(bounds)  # (L, T)
+            add = b_lo == prev_up
+            result = jnp.where(add, prev_res + mid_result,
+                               prev_res - mid_result)
+            zero = jnp.all(result == 0.0, axis=1)  # (L,)
+            ustack_n = result < obj
+            lower_n = jnp.where(~ustack_n, lower, mid)
+            upper_n = jnp.where(ustack_n, upper, mid)
+            frozen = (zero | brk)[:, None]
+            keep = lambda new, old: jnp.where(frozen, old, new)
+            return (
+                keep(lower_n, lower), keep(upper_n, upper),
+                keep(result, prev_res), keep(mid, prev_up),
+                keep(ustack_n, ustack), brk | zero,
+            )
+
+        dt = jnp.zeros(()).dtype
+        L = len(obj_vars)
+        state = (
+            jnp.asarray(bisection_bounds[:, :, 0], dtype=dt),
+            jnp.asarray(bisection_bounds[:, :, 1], dtype=dt),
+            jnp.asarray(prev_result, dtype=dt),
+            jnp.asarray(prev_upper, dtype=dt),
+            jnp.asarray(upper_stack),
+            jnp.zeros((L,), dtype=bool),
+        )
+        lower, upper, *_ = jax.lax.while_loop(cond, body, state)
+        return np.asarray((lower + upper) / 2.0)
 
     def _bisection_device(self, obj_var, bisection_bounds, prev_result,
                           upper_stack, prev_upper, tolerance):

@@ -3,6 +3,7 @@ from copula_var_tpu.parallel.quadrature import (
     sharded_msm_step,
     sharded_garch_step,
     sharded_cached_step,
+    sharded_bisection_solve,
     grid_sharded_garch_integrals,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "sharded_msm_step",
     "sharded_garch_step",
     "sharded_cached_step",
+    "sharded_bisection_solve",
     "grid_sharded_garch_integrals",
 ]

@@ -141,6 +141,92 @@ def sharded_cached_step(mesh: Mesh, bounds, day_tensors, fcombos, x, dx,
     )
 
 
+def sharded_bisection_solve(mesh: Mesh, day_tensors, fcombos, densities,
+                            x, dx, weights, lower, upper, prev_result,
+                            prev_upper, upper_stack, obj_var, tolerance,
+                            box_min=-5.0):
+    """The FULL production VaR bisection day-sharded over the mesh.
+
+    The single-chip solver (`VaRBacktest._bisection_device`) runs the
+    whole bisection as one `lax.while_loop`; at pod-scale T the (T, n, n)
+    day tensors exceed one chip's HBM, so here they are placed sharded on
+    the 'days' axis and the SAME while-loop program runs SPMD: each device
+    masks + sandwiches its day shard per iteration, and the only
+    cross-device traffic is the scalar convergence reduction
+    (`jnp.any(gap > tol)` -> an all-reduce over ICI) plus the all-zeros
+    early-break reduction. Returns the (T,) roots, day-sharded.
+
+    densities=None selects the GARCH/mean-reverting (q=1) family; else the
+    MSM family with (dim, q, n) densities and (T, q^2) fcombos.
+    """
+    from copula_var_tpu.ops.quadrature import (
+        garch_integrals_cached,
+        msm_integrals_cached,
+    )
+
+    d = NamedSharding(mesh, P("days"))
+    tensors_s = jax.device_put(jnp.asarray(day_tensors), d)
+    x = jnp.asarray(x)
+    dx = jnp.asarray(dx)
+    weights = jnp.asarray(weights)
+    if densities is not None:
+        densities = jnp.asarray(densities)
+        fcombos_s = jax.device_put(jnp.asarray(fcombos), d)
+
+        def integral(b):
+            return msm_integrals_cached(
+                b, tensors_s, fcombos_s, x, dx, densities, weights, box_min
+            )
+    else:
+
+        def integral(b):
+            return garch_integrals_cached(
+                b, tensors_s, x, dx, weights, box_min
+            )
+
+    day_state = tuple(
+        jax.device_put(jnp.asarray(a, dtype=jnp.zeros(()).dtype), d)
+        for a in (lower, upper, prev_result, prev_upper)
+    ) + (jax.device_put(jnp.asarray(upper_stack, dtype=bool), d),)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=((d, d, d, d, d),),
+        out_shardings=d,
+    )
+    def solve(state0):
+        def cond(state):
+            lower, upper, _, _, _, brk = state
+            return jnp.any(upper - lower > tolerance) & ~brk
+
+        def body(state):
+            lower, upper, prev_res, prev_up, ustack, brk = state
+            mid = (lower + upper) / 2.0
+            b_lo = jnp.where(ustack, lower, mid)
+            b_up = jnp.where(ustack, mid, upper)
+            mid_result = integral(jnp.stack((b_lo, b_up), axis=-1))
+            add = b_lo == prev_up
+            result = jnp.where(
+                add, prev_res + mid_result, prev_res - mid_result
+            )
+            zero = jnp.all(result == 0.0)
+            ustack_n = result < obj_var
+            lower_n = jnp.where(~ustack_n, lower, mid)
+            upper_n = jnp.where(ustack_n, upper, mid)
+            keep = lambda new, old: jnp.where(zero, old, new)
+            return (
+                keep(lower_n, lower), keep(upper_n, upper),
+                keep(result, prev_res), keep(mid, prev_up),
+                keep(ustack_n, ustack), brk | zero,
+            )
+
+        state = state0 + (jnp.asarray(False),)
+        lower, upper, *_ = jax.lax.while_loop(cond, body, state)
+        return (lower + upper) / 2.0
+
+    return solve(day_state)
+
+
 def grid_sharded_garch_integrals(mesh: Mesh, bounds, forecast_vols, x, dx,
                                  weights, spec: CopulaSpec, axis: str = "grid"):
     """One integral per day with the OUTER grid dimension sharded.

@@ -142,3 +142,58 @@ def test_sharded_cached_step_matches(rng):
         sharded_cached_step(mesh, bg, V, None, xg, dxg, None, w)
     )
     np.testing.assert_allclose(gotg, wantg, rtol=1e-11)
+
+
+def test_sharded_bisection_solve_matches_host(rng):
+    """The day-sharded full on-device bisection (one SPMD while_loop over
+    the mesh) vs a host-driven f64 bisection with identical state."""
+    from copula_var_tpu.ops.quadrature import (
+        msm_day_tensors,
+        msm_integrals_cached,
+    )
+    from copula_var_tpu.parallel import sharded_bisection_solve
+
+    mesh = make_mesh(n_devices=8)
+    bounds, fbs, fcombos, x, dx, dens, uvols = _msm_problem(rng)
+    T = bounds.shape[0]
+    w = np.array([0.5, 0.5])
+    spec = CopulaSpec("student", (6.0, jnp.asarray(CORR)))
+    C = msm_day_tensors(fbs, x, uvols, spec)
+
+    lower = np.full(T, -7.5)
+    upper = np.full(T, 0.0)
+    entry_up = rng.uniform(-4.0, -1.0, size=T)
+    prev_res = np.asarray(
+        msm_integrals_cached(
+            np.column_stack([np.full(T, -100.0), entry_up]),
+            C, fcombos, x, dx, dens, w,
+        )
+    )
+    ustack = np.ones(T, dtype=bool)
+    tol = 1e-6
+
+    got = np.asarray(
+        sharded_bisection_solve(
+            mesh, C, fcombos, dens, x, dx, w, lower, upper, prev_res,
+            entry_up, ustack, 0.05, tol,
+        )
+    )
+
+    lo, up = lower.copy(), upper.copy()
+    pr, pu, us = prev_res.copy(), entry_up.copy(), ustack.copy()
+    while np.any(up - lo > tol):
+        mid = 0.5 * (lo + up)
+        b = np.where(
+            us[:, None], np.column_stack([lo, mid]), np.column_stack([mid, up])
+        )
+        mres = np.asarray(
+            msm_integrals_cached(b, C, fcombos, x, dx, dens, w)
+        )
+        add = b[:, 0] == pu
+        res = np.where(add, pr + mres, pr - mres)
+        us = res < 0.05
+        lo = np.where(us, mid, lo)
+        up = np.where(us, up, mid)
+        pr, pu = res, mid
+    want = 0.5 * (lo + up)
+    np.testing.assert_allclose(got, want, atol=1e-9)
