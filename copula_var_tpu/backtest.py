@@ -416,17 +416,39 @@ class VaRBacktest:
     num_points: int = 100
     box: tuple = (-5.0, 5.0)
     copula_fit_kwargs: Optional[dict] = None
-    engine: str = "xla"  # 'xla' (f64-capable) | 'pallas' (fused f32 TPU kernel)
+    engine: str = "xla"  # 'xla' | 'pallas' (fused f32 TPU) | 'sharded' (mesh)
+    # Pre-fitted parameter injection: skip the model and/or copula
+    # optimizers and run the pipeline from saved artifacts (the explicit
+    # analog of the reference's in-memory param caches,
+    # `calc_var_ABC.py:4-22`). model_fits_override is a list of per-asset
+    # fit results; copula_fit_override a GaussianFit/StudentFit/PlackettFit.
+    model_fits_override: Optional[list] = None
+    copula_fit_override: Optional[object] = None
+    # Re-enable the reference's stage-2 bracket-anchor defect
+    # (`calc_var_class.py:132`): the add group's tracked-CDF anchor is set
+    # to first_guess instead of second_guess[1], so days with
+    # F(second_guess[1]) < obj_var subtract their first bisection slab
+    # instead of adding it. Off by default (we fix the defect); switch on
+    # for bit-honest whole-pipeline comparison against the reference.
+    reference_quirks: bool = False
 
     def __post_init__(self):
         t0 = time.time()
         in_sample = self.data.in_sample
-        self.model_fits = self.adapter.fit(in_sample)
+        self.model_fits = (
+            self.model_fits_override
+            if self.model_fits_override is not None
+            else self.adapter.fit(in_sample)
+        )
         self.marginals, self.densities = self.adapter.marginals_densities(
             in_sample, self.model_fits
         )
-        self.copula_fit = _COPULA_FITTERS[self.copula](
-            self.marginals, self.densities, **(self.copula_fit_kwargs or {})
+        self.copula_fit = (
+            self.copula_fit_override
+            if self.copula_fit_override is not None
+            else _COPULA_FITTERS[self.copula](
+                self.marginals, self.densities, **(self.copula_fit_kwargs or {})
+            )
         )
         self.copula_spec = _copula_spec(self.copula, self.copula_fit)
         self.integration_inputs = self.adapter.integration_inputs(
@@ -541,11 +563,14 @@ class VaRBacktest:
         # second_guess[0] for the subtract group (F(-3) >= obj), else
         # second_guess[1] (the add group's CDF is at its new upper bound).
         # DEFECT FIXED: the reference uses first_guess for the add group
-        # (`calc_var_class.py:134`), so days with F(second_guess[1]) <
+        # (`calc_var_class.py:132`), so days with F(second_guess[1]) <
         # obj_var subtract their first bisection slab instead of adding it
         # (result 2F(u)-F(mid)) and converge to a wrong VaR.
+        # reference_quirks=True re-enables the defect for whole-pipeline
+        # golden comparison (tests/test_e2e_parity.py).
+        add_anchor = first_guess if self.reference_quirks else second_guess[1]
         prev_upper = np.where(
-            new_lower == second_guess[0], second_guess[0], second_guess[1]
+            new_lower == second_guess[0], second_guess[0], add_anchor
         )
         new_result = self.compute_integral(bounds)
         result_current = self.adjust_integral(
@@ -913,5 +938,6 @@ def create_var_backtest(
     if copula_type not in _COPULA_FITTERS:
         raise ValueError(f"Unsupported copula type: {copula_type}")
     adapter = _ADAPTERS[estimation_type](**adapter_kwargs)
-    return VaRBacktest(data, adapter, copula_type, num_points, box,
-                       copula_fit_kwargs, engine)
+    return VaRBacktest(data, adapter, copula_type, num_points=num_points,
+                       box=box, copula_fit_kwargs=copula_fit_kwargs,
+                       engine=engine)

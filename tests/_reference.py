@@ -35,9 +35,28 @@ def _install_numba_stub():
     sys.modules["numba"] = fake
 
 
+def _install_yfinance_stub():
+    """The reference's data layer imports yfinance at module level
+    (`load_data.py:3`); tests inject data through the returns cache and
+    never hit the network, so a raising stub suffices offline."""
+    if "yfinance" in sys.modules:
+        return
+    fake = types.ModuleType("yfinance")
+
+    def download(*args, **kwargs):  # pragma: no cover - guard only
+        raise RuntimeError(
+            "network access not available in tests; prefill "
+            "SharedCacheIndexReturns.returns_cache instead"
+        )
+
+    fake.download = download
+    sys.modules["yfinance"] = fake
+
+
 def ref(module_name: str):
     """Import a module from the reference tree (e.g. 'garch.estimation')."""
     _install_numba_stub()
+    _install_yfinance_stub()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import importlib
