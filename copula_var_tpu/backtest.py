@@ -417,6 +417,9 @@ class VaRBacktest:
     box: tuple = (-5.0, 5.0)
     copula_fit_kwargs: Optional[dict] = None
     engine: str = "xla"  # 'xla' | 'pallas' (fused f32 TPU) | 'sharded' (mesh)
+    # Device mesh for engine='sharded' (a jax.sharding.Mesh with a 'days'
+    # axis). None -> a 1-D mesh over all visible devices, built lazily.
+    mesh: Optional[object] = None
     # Pre-fitted parameter injection: skip the model and/or copula
     # optimizers and run the pipeline from saved artifacts (the explicit
     # analog of the reference's in-memory param caches,
@@ -465,6 +468,15 @@ class VaRBacktest:
 
     # -- CDF evaluator ----------------------------------------------------
 
+    def _get_mesh(self):
+        """Mesh for engine='sharded': the user-provided one, else a 1-D
+        'days' mesh over all visible devices."""
+        if self.mesh is None:
+            from copula_var_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh()
+        return self.mesh
+
     def _cached_integral_fn(self):
         """Build (once) and return the cached-sweep closure
         `integral(bounds) -> (T,)`, or None if the adapter has no cached
@@ -499,6 +511,49 @@ class VaRBacktest:
                     bounds, tensors, inputs, weights, box_min,
                     interpret=interpret,
                 )
+        elif self.engine == "sharded":
+            if self.data.dim != 2 or not hasattr(self.adapter, "day_tensors"):
+                raise ValueError(
+                    "engine='sharded' requires dim == 2 and an adapter "
+                    "with a cached-tensor path"
+                )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from copula_var_tpu.ops.quadrature import (
+                garch_integrals_cached,
+                msm_integrals_cached,
+            )
+            from copula_var_tpu.parallel.quadrature import pad_days
+
+            mesh = self._get_mesh()
+            d = NamedSharding(mesh, P("days"))
+            n_dev = mesh.shape["days"]
+            T = self.data.out_sample_n
+            tensors = jax.device_put(
+                pad_days(
+                    self.adapter.day_tensors(inputs, self.copula_spec), n_dev
+                ),
+                d,
+            )
+            self._cached_tensors = tensors
+            if isinstance(inputs, MsmIntegrationInputs):
+                fcombos = jax.device_put(
+                    pad_days(inputs.forecast_combos, n_dev), d
+                )
+
+                def fn(bounds):
+                    b = jax.device_put(pad_days(jnp.asarray(bounds), n_dev), d)
+                    return msm_integrals_cached(
+                        b, tensors, fcombos, inputs.x, inputs.dx,
+                        inputs.densities, weights, box_min,
+                    )[:T]
+            else:
+
+                def fn(bounds):
+                    b = jax.device_put(pad_days(jnp.asarray(bounds), n_dev), d)
+                    return garch_integrals_cached(
+                        b, tensors, inputs.x, inputs.dx, weights, box_min
+                    )[:T]
         elif self.data.dim == 2 and hasattr(self.adapter, "day_tensors"):
             tensors = self.adapter.day_tensors(inputs, self.copula_spec)
             adapter = self.adapter
@@ -626,6 +681,12 @@ class VaRBacktest:
                 obj_var, bis, result_current, upper_stack, prev_upper,
                 tolerance,
             )
+        elif self.engine == "sharded":
+            self._cached_integral_fn()  # builds sharded self._cached_tensors
+            final = self._bisection_sharded(
+                obj_var, bis, result_current, upper_stack, prev_upper,
+                tolerance,
+            )
         elif self._cached_integral_fn() is not None:
             final = self._bisection_device(
                 obj_var, bis, result_current, upper_stack, prev_upper,
@@ -678,6 +739,12 @@ class VaRBacktest:
         if self.engine == "pallas":
             self._cached_integral_fn()  # builds self._cached_tensors
             final = self._bisection_pallas_fused_levels(
+                obj_vars, bis, prev_result, upper_stack, prev_upper,
+                tolerance,
+            )
+        elif self.engine == "sharded":
+            self._cached_integral_fn()  # builds sharded self._cached_tensors
+            final = self._bisection_sharded_levels(
                 obj_vars, bis, prev_result, upper_stack, prev_upper,
                 tolerance,
             )
@@ -756,6 +823,54 @@ class VaRBacktest:
             )
         return garch_solve_pallas_levels(
             tensors, inputs.x, inputs.dx, self.data.weights, **common,
+        )
+
+    def _bisection_sharded(self, obj_var, bisection_bounds, prev_result,
+                           upper_stack, prev_upper, tolerance):
+        """Day-sharded SPMD bisection over the mesh: the day tensors live
+        sharded on the 'days' axis and ONE while-loop program runs on all
+        devices (`parallel/quadrature.py::sharded_bisection_solve`);
+        cross-device traffic per iteration = the scalar convergence and
+        early-break all-reduces over ICI."""
+        from copula_var_tpu.parallel.quadrature import (
+            sharded_bisection_solve,
+        )
+
+        inputs = self.integration_inputs
+        is_msm = isinstance(inputs, MsmIntegrationInputs)
+        return np.asarray(
+            sharded_bisection_solve(
+                self._get_mesh(), self._cached_tensors,
+                inputs.forecast_combos if is_msm else None,
+                inputs.densities if is_msm else None,
+                inputs.x, inputs.dx, self.data.weights,
+                bisection_bounds[:, 0], bisection_bounds[:, 1],
+                prev_result, prev_upper, upper_stack, obj_var, tolerance,
+                self.box[0],
+            )
+        )
+
+    def _bisection_sharded_levels(self, obj_vars, bisection_bounds,
+                                  prev_result, upper_stack, prev_upper,
+                                  tolerance):
+        """All L confidence levels in one day-sharded SPMD while-loop
+        (`parallel/quadrature.py::sharded_bisection_solve_levels`)."""
+        from copula_var_tpu.parallel.quadrature import (
+            sharded_bisection_solve_levels,
+        )
+
+        inputs = self.integration_inputs
+        is_msm = isinstance(inputs, MsmIntegrationInputs)
+        return np.asarray(
+            sharded_bisection_solve_levels(
+                self._get_mesh(), self._cached_tensors,
+                inputs.forecast_combos if is_msm else None,
+                inputs.densities if is_msm else None,
+                inputs.x, inputs.dx, self.data.weights,
+                bisection_bounds[:, :, 0], bisection_bounds[:, :, 1],
+                prev_result, prev_upper, upper_stack, obj_vars, tolerance,
+                self.box[0],
+            )
         )
 
     def _bisection_device_levels(self, obj_vars, bisection_bounds,

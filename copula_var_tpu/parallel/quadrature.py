@@ -141,6 +141,131 @@ def sharded_cached_step(mesh: Mesh, bounds, day_tensors, fcombos, x, dx,
     )
 
 
+def pad_days(arr, n_dev: int, axis: int = 0):
+    """Pad the day axis up to a multiple of n_dev by repeating the final
+    day. The padded rows run the same (benign, finite) computation as a
+    real day and are sliced off by the caller — this is how a T that does
+    not divide the mesh still day-shards evenly (`device_put` with a
+    NamedSharding requires divisibility)."""
+    arr = jnp.asarray(arr)
+    T = arr.shape[axis]
+    pad = (-T) % n_dev
+    if pad == 0:
+        return arr
+    last = jnp.take(arr, jnp.full(pad, T - 1), axis=axis)
+    return jnp.concatenate([arr, last], axis=axis)
+
+
+@functools.partial(jax.jit, static_argnames=("is_msm",))
+def _solve_levels_jit(state0, tensors, fcombos, densities, x, dx, weights,
+                      obj_vars, tolerance, box_min, is_msm):
+    """MODULE-LEVEL jitted multi-level SPMD bisection over an (L, T) state.
+
+    Hoisted out of the per-call closure so the while-loop program compiles
+    ONCE per (shapes, mesh) and is reused across rolling-window /
+    multi-level callers — obj_vars and tolerance are traced operands, not
+    baked-in constants. Sharding comes from the operands (GSPMD
+    propagation): day-sharded inputs keep every per-iteration mask +
+    sandwich day-parallel, and the only cross-device traffic is the
+    scalar convergence / early-break all-reduces over ICI.
+
+    Per-(level, day) semantics match `VaRBacktest._bisection_device_levels`
+    (the reference loop `calc_var_class.py:278-304` level by level,
+    including the per-level all-zeros early break)."""
+    from copula_var_tpu.ops.quadrature import (
+        garch_integrals_cached,
+        msm_integrals_cached,
+    )
+
+    if is_msm:
+        def integral(b):
+            return msm_integrals_cached(
+                b, tensors, fcombos, x, dx, densities, weights, box_min
+            )
+    else:
+        def integral(b):
+            return garch_integrals_cached(b, tensors, x, dx, weights, box_min)
+
+    obj = obj_vars[:, None]  # (L, 1)
+
+    def cond(state):
+        lower, upper, _, _, _, brk = state
+        return jnp.any((upper - lower > tolerance) & ~brk[:, None])
+
+    def body(state):
+        lower, upper, prev_res, prev_up, ustack, brk = state
+        mid = (lower + upper) / 2.0
+        b_lo = jnp.where(ustack, lower, mid)
+        b_up = jnp.where(ustack, mid, upper)
+        bounds = jnp.stack((b_lo, b_up), axis=-1)  # (L, T, 2)
+        mid_result = jax.vmap(integral)(bounds)  # (L, T)
+        add = b_lo == prev_up
+        result = jnp.where(add, prev_res + mid_result, prev_res - mid_result)
+        zero = jnp.all(result == 0.0, axis=1)  # (L,)
+        ustack_n = result < obj
+        lower_n = jnp.where(~ustack_n, lower, mid)
+        upper_n = jnp.where(ustack_n, upper, mid)
+        frozen = (zero | brk)[:, None]
+        keep = lambda new, old: jnp.where(frozen, old, new)
+        return (
+            keep(lower_n, lower), keep(upper_n, upper),
+            keep(result, prev_res), keep(mid, prev_up),
+            keep(ustack_n, ustack), brk | zero,
+        )
+
+    state = state0 + (jnp.zeros(state0[0].shape[:1], dtype=bool),)
+    lower, upper, *_ = jax.lax.while_loop(cond, body, state)
+    return (lower + upper) / 2.0
+
+
+def sharded_bisection_solve_levels(mesh: Mesh, day_tensors, fcombos,
+                                   densities, x, dx, weights, lower, upper,
+                                   prev_result, prev_upper, upper_stack,
+                                   obj_vars, tolerance, box_min=-5.0):
+    """Multi-level production VaR bisection day-sharded over the mesh.
+
+    All arrays carry a leading level axis: lower/upper/prev_result/
+    prev_upper/upper_stack are (L, T), obj_vars is (L,). The (T, n, n) day
+    tensors are placed sharded on the mesh's 'days' axis (at pod-scale T
+    they exceed one chip's HBM) and ONE SPMD while-loop solves every
+    (level, day) cell; each level's day tensor reads are shared. Returns
+    (L, T) roots, day-sharded on the trailing axis.
+
+    densities=None selects the GARCH/mean-reverting (q=1) family; else the
+    MSM family with (dim, q, n) densities and (T, q^dim) fcombos.
+    """
+    d = NamedSharding(mesh, P("days"))
+    ld = NamedSharding(mesh, P(None, "days"))
+    n_dev = mesh.shape["days"]
+    T = jnp.asarray(lower).shape[1]
+    tensors_s = jax.device_put(pad_days(day_tensors, n_dev), d)
+    is_msm = densities is not None
+    if is_msm:
+        densities = jnp.asarray(densities)
+        fcombos_s = jax.device_put(pad_days(fcombos, n_dev), d)
+    else:
+        densities = jnp.zeros(())
+        fcombos_s = jnp.zeros(())
+
+    dt = jnp.zeros(()).dtype
+    state0 = tuple(
+        jax.device_put(pad_days(jnp.asarray(a, dtype=dt), n_dev, axis=1), ld)
+        for a in (lower, upper, prev_result, prev_upper)
+    ) + (
+        jax.device_put(
+            pad_days(jnp.asarray(upper_stack, dtype=bool), n_dev, axis=1), ld
+        ),
+    )
+
+    roots = _solve_levels_jit(
+        state0, tensors_s, fcombos_s, densities, jnp.asarray(x),
+        jnp.asarray(dx), jnp.asarray(weights),
+        jnp.asarray(obj_vars, dtype=dt), jnp.asarray(tolerance, dtype=dt),
+        jnp.asarray(box_min, dtype=dt), is_msm,
+    )
+    return roots[:, :T]
+
+
 def sharded_bisection_solve(mesh: Mesh, day_tensors, fcombos, densities,
                             x, dx, weights, lower, upper, prev_result,
                             prev_upper, upper_stack, obj_var, tolerance,
@@ -157,74 +282,18 @@ def sharded_bisection_solve(mesh: Mesh, day_tensors, fcombos, densities,
     early-break reduction. Returns the (T,) roots, day-sharded.
 
     densities=None selects the GARCH/mean-reverting (q=1) family; else the
-    MSM family with (dim, q, n) densities and (T, q^2) fcombos.
-    """
-    from copula_var_tpu.ops.quadrature import (
-        garch_integrals_cached,
-        msm_integrals_cached,
+    MSM family with (dim, q, n) densities and (T, q^dim) fcombos.
+
+    Thin L=1 wrapper over `sharded_bisection_solve_levels` — one shared,
+    cached while-loop program serves both entry points."""
+    roots = sharded_bisection_solve_levels(
+        mesh, day_tensors, fcombos, densities, x, dx, weights,
+        jnp.asarray(lower)[None], jnp.asarray(upper)[None],
+        jnp.asarray(prev_result)[None], jnp.asarray(prev_upper)[None],
+        jnp.asarray(upper_stack)[None], jnp.asarray([obj_var]), tolerance,
+        box_min,
     )
-
-    d = NamedSharding(mesh, P("days"))
-    tensors_s = jax.device_put(jnp.asarray(day_tensors), d)
-    x = jnp.asarray(x)
-    dx = jnp.asarray(dx)
-    weights = jnp.asarray(weights)
-    if densities is not None:
-        densities = jnp.asarray(densities)
-        fcombos_s = jax.device_put(jnp.asarray(fcombos), d)
-
-        def integral(b):
-            return msm_integrals_cached(
-                b, tensors_s, fcombos_s, x, dx, densities, weights, box_min
-            )
-    else:
-
-        def integral(b):
-            return garch_integrals_cached(
-                b, tensors_s, x, dx, weights, box_min
-            )
-
-    day_state = tuple(
-        jax.device_put(jnp.asarray(a, dtype=jnp.zeros(()).dtype), d)
-        for a in (lower, upper, prev_result, prev_upper)
-    ) + (jax.device_put(jnp.asarray(upper_stack, dtype=bool), d),)
-
-    @functools.partial(
-        jax.jit,
-        in_shardings=((d, d, d, d, d),),
-        out_shardings=d,
-    )
-    def solve(state0):
-        def cond(state):
-            lower, upper, _, _, _, brk = state
-            return jnp.any(upper - lower > tolerance) & ~brk
-
-        def body(state):
-            lower, upper, prev_res, prev_up, ustack, brk = state
-            mid = (lower + upper) / 2.0
-            b_lo = jnp.where(ustack, lower, mid)
-            b_up = jnp.where(ustack, mid, upper)
-            mid_result = integral(jnp.stack((b_lo, b_up), axis=-1))
-            add = b_lo == prev_up
-            result = jnp.where(
-                add, prev_res + mid_result, prev_res - mid_result
-            )
-            zero = jnp.all(result == 0.0)
-            ustack_n = result < obj_var
-            lower_n = jnp.where(~ustack_n, lower, mid)
-            upper_n = jnp.where(ustack_n, upper, mid)
-            keep = lambda new, old: jnp.where(zero, old, new)
-            return (
-                keep(lower_n, lower), keep(upper_n, upper),
-                keep(result, prev_res), keep(mid, prev_up),
-                keep(ustack_n, ustack), brk | zero,
-            )
-
-        state = state0 + (jnp.asarray(False),)
-        lower, upper, *_ = jax.lax.while_loop(cond, body, state)
-        return (lower + upper) / 2.0
-
-    return solve(day_state)
+    return roots[0]
 
 
 def grid_sharded_garch_integrals(mesh: Mesh, bounds, forecast_vols, x, dx,
