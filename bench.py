@@ -158,12 +158,18 @@ def main():
             times.append(time.time() - t0)
         return min(times) / (sweeps * L)
 
+    extra = {}
     try:
-        # headline: the 4-level confidence-ladder launch (99/97.67/
-        # 96.33/95%), the production risk-desk configuration; HBM
-        # streaming of the day tensors amortizes across levels
-        dt = time_pallas_fused(levels=4)
-        path = "pallas_fused_solver_4level"
+        # headline: the SINGLE-LEVEL fused solve — directly comparable to
+        # the reference's one-confidence-level workload and to prior-round
+        # BENCH numbers. The 4-level confidence-ladder launch (99/97.67/
+        # 96.33/95%, the production risk-desk configuration, HBM streaming
+        # amortized across levels) is reported alongside, not as the
+        # headline.
+        dt = time_pallas_fused(levels=1)
+        path = "pallas_fused_solver"
+        dt4 = time_pallas_fused(levels=4)
+        extra["value_4level_amortized"] = round(T / dt4, 1)
     except Exception as e:  # non-TPU backend or lowering regression
         print(f"pallas path unavailable ({type(e).__name__}: {e}); "
               "falling back to XLA", file=sys.stderr)
@@ -179,6 +185,7 @@ def main():
                 "unit": "integrals/s/chip",
                 "vs_baseline": round(rate / REF_NODE_INTEGRALS_PER_SEC, 2),
                 "path": path,
+                **extra,
             }
         )
     )

@@ -495,21 +495,52 @@ class VaRBacktest:
         inputs = self.integration_inputs
         box_min = self.box[0]
         if self.engine == "pallas":
-            if self.data.dim != 2 or not hasattr(self.adapter, "integrals_pallas"):
-                raise ValueError(
-                    "engine='pallas' requires dim == 2 and an adapter with "
-                    "a Pallas path"
-                )
-            tensors = self.adapter.day_tensors(inputs, self.copula_spec)
-            self._cached_tensors = tensors
-            adapter = self.adapter
             # interpret mode makes the kernel runnable on the CPU test mesh
             interpret = jax.devices()[0].platform != "tpu"
+            if self.data.dim == 2 and hasattr(self.adapter, "integrals_pallas"):
+                tensors = self.adapter.day_tensors(inputs, self.copula_spec)
+                self._cached_tensors = tensors
+                adapter = self.adapter
 
-            def fn(bounds):
-                return adapter.integrals_pallas(
-                    bounds, tensors, inputs, weights, box_min,
-                    interpret=interpret,
+                def fn(bounds):
+                    return adapter.integrals_pallas(
+                        bounds, tensors, inputs, weights, box_min,
+                        interpret=interpret,
+                    )
+            elif self.data.dim == 3:
+                # fused dim-3 engine: per-day transform columns stay
+                # VMEM-resident; density slabs rebuilt in-kernel
+                # (`ops/pallas_quadrature3.py`)
+                from copula_var_tpu.ops.pallas_quadrature3 import (
+                    build_garch_dim3_cache,
+                    build_msm_dim3_cache,
+                    dim3_integrals_pallas,
+                )
+
+                if isinstance(inputs, MsmIntegrationInputs):
+                    family = "msm"
+                    cache = build_msm_dim3_cache(
+                        inputs.forecasts_by_states, inputs.forecast_combos,
+                        inputs.x, inputs.dx, inputs.densities,
+                        inputs.unique_vols, weights, self.copula_spec,
+                    )
+                else:
+                    family = "garch"
+                    cache = build_garch_dim3_cache(
+                        inputs.forecast_vols, inputs.x, inputs.dx, weights,
+                        self.copula_spec,
+                    )
+                kind = self.copula_spec.kind
+
+                def fn(bounds):
+                    return dim3_integrals_pallas(
+                        bounds, cache, family=family, kind=kind,
+                        interpret=interpret, box_min=box_min,
+                    )
+            else:
+                raise ValueError(
+                    "engine='pallas' requires dim in {2, 3} and an adapter "
+                    "with a Pallas/cached-columns path"
                 )
         elif self.engine == "sharded":
             if self.data.dim != 2 or not hasattr(self.adapter, "day_tensors"):
@@ -675,9 +706,16 @@ class VaRBacktest:
             max_var_value,
         )
 
-        if self.engine == "pallas":
+        if self.engine == "pallas" and self.data.dim == 2:
             self._cached_integral_fn()  # builds self._cached_tensors
             final = self._bisection_pallas_fused(
+                obj_var, bis, result_current, upper_stack, prev_upper,
+                tolerance,
+            )
+        elif self.engine == "pallas":
+            # dim 3: the fused column kernel drives the on-device
+            # while-loop bisection (one Pallas sweep per iteration)
+            final = self._bisection_device(
                 obj_var, bis, result_current, upper_stack, prev_upper,
                 tolerance,
             )
@@ -736,9 +774,14 @@ class VaRBacktest:
         prev_upper = np.stack([s[3] for s in states])
         nan_days = np.stack([s[4] for s in states])
 
-        if self.engine == "pallas":
+        if self.engine == "pallas" and self.data.dim == 2:
             self._cached_integral_fn()  # builds self._cached_tensors
             final = self._bisection_pallas_fused_levels(
+                obj_vars, bis, prev_result, upper_stack, prev_upper,
+                tolerance,
+            )
+        elif self.engine == "pallas":
+            final = self._bisection_device_levels(
                 obj_vars, bis, prev_result, upper_stack, prev_upper,
                 tolerance,
             )

@@ -144,15 +144,18 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
             lambda nu: student.precompute_transform(marginals, nu)
         )(nu_arr)
 
-        def f_rho(rho):  # (B,) -> (B,)
+        B = len(np.asarray(nu_values))
+
+        def f_rho(rho):  # (m*B,) -> (m*B,): golden_section_min probes in
+            # pairs, so the companion per-nu transforms tile to match
+            m = rho.shape[0] // B
+            tile = lambda a: jnp.concatenate([a] * m, axis=0) if m > 1 else a
             return jax.vmap(
                 lambda r, z, fi, lu, nu:
                 student.negative_log_likelihood_from_transform(
                     r[None], z, fi, lu, nu, log_density_sum, dim
                 )
-            )(rho, z_b, fin_b, lus_b, nu_arr)
-
-        B = len(np.asarray(nu_values))
+            )(rho, tile(z_b), tile(fin_b), tile(lus_b), tile(nu_arr))
         rho_star, nll_star = golden_section_min(
             f_rho, jnp.full(B, -0.99), jnp.full(B, 0.99)
         )
@@ -198,8 +201,13 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
             )
         )(nu_batch)
 
+    # 40 contractions bracket nu to ~2e-7 — far beyond the statistical
+    # resolution of the profile (the reference's scipy stage-2 stops at
+    # ~1e-5); each iteration costs a full t_ppf sweep, so stage 2 is the
+    # one place the iteration budget is trimmed.
     nu_star, _ = golden_section_min(
-        f_nu, jnp.array([float(nu_bounds[0])]), jnp.array([float(nu_bounds[1])])
+        f_nu, jnp.array([float(nu_bounds[0])]),
+        jnp.array([float(nu_bounds[1])]), iters=40,
     )
     nu_opt = float(np.asarray(nu_star)[0])
     corr = np.eye(dim)

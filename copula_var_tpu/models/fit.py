@@ -76,6 +76,12 @@ def _newton_garch_device(returns, inits, p, q, max_iter, tol, eps):
     optimum (where H is PD and mu -> 0) is unchanged.
     """
     returns = jnp.asarray(returns)
+    # dtype-aware convergence floor: a f64-calibrated tol (1e-10) is below
+    # one ulp of the f32 iterate on TPU, so the while_loop would spin its
+    # full max_iter bound (long enough to trip device watchdogs)
+    tol = jnp.maximum(
+        jnp.asarray(tol, returns.dtype), 64.0 * jnp.finfo(returns.dtype).eps
+    )
     nll = lambda x: _garch_nll(returns, x, p)
     grad_f = jax.grad(nll)
     hess_f = jax.hessian(nll)
@@ -131,7 +137,15 @@ def _newton_garch_device(returns, inits, p, q, max_iter, tol, eps):
             jnp.where(s > 1.0, x_new[1:] / s, x_new[1:])
         )  # renormalize (`opti.py:158-162`)
         x_new = jnp.maximum(x_new, floor)  # positivity floor (`:165`)
-        step_norm = jnp.linalg.norm(t * delta)
+        # Reject a step the line search could not make an improvement
+        # (t bottomed out at its 1e-8 floor while still worse): keeping it
+        # would drift the converged iterate by ~1e-8 * ||delta|| per
+        # iteration forever and burn max_iter. Convergence is then
+        # measured on the PROJECTED accepted step, so a floor-pinned
+        # coefficient's nonzero raw delta cannot stall termination either.
+        improved = nll(x_new) <= f_cur
+        x_new = jnp.where(improved, x_new, x)
+        step_norm = jnp.linalg.norm(x_new - x)
         return x_new, step_norm
 
     def solve_one(x0):
@@ -152,6 +166,172 @@ def _newton_garch_device(returns, inits, p, q, max_iter, tol, eps):
     return jax.vmap(solve_one)(inits)
 
 
+@functools.partial(jax.jit, static_argnames=("p_max", "q_max", "max_iter"))
+def _newton_garch_batched(returns, inits, masks, extras, p_max, q_max,
+                          max_iter, tol, eps):
+    """The ENTIRE BIC sweep — every (p, q) pair x every start — as ONE
+    device program, compiled once.
+
+    Every candidate is padded to (p_max, q_max) lags; `masks` pins the
+    inactive coefficients at zero (they contribute nothing to the
+    recursion, the gradient, or the projections) and `extras` carries each
+    pair's max(p, q) chop of the initial observations
+    (`garch/estimation.py:110-114`) as a traced per-row value. The masked
+    padded solve follows the same Newton trajectory as the exact-shape
+    per-pair solve (`_newton_garch_device`): inactive coordinates have
+    zero gradient/Hessian rows, so the damped-Cholesky step leaves them at
+    zero and the active block sees the identical system.
+
+    Replaces the 9-sequential-device-program host loop (each (p, q)
+    compiling its own program — the dominant prep cost measured in
+    PERF.md) with one dispatch, and the compile cache is shared across
+    assets of the same length.
+    """
+    returns = jnp.asarray(returns)
+    # dtype-aware convergence floor (see _newton_garch_device)
+    tol = jnp.maximum(
+        jnp.asarray(tol, returns.dtype), 64.0 * jnp.finfo(returns.dtype).eps
+    )
+    n = returns.shape[0]
+    m = 1 + p_max + q_max
+    eye = jnp.eye(m, dtype=returns.dtype)
+    floor = eps + 1e-7
+    t_idx = jnp.arange(n)
+
+    def nll_row(x, mask, extra):
+        xm = x * mask
+        omega = xm[0]
+        alpha = xm[1 : 1 + p_max]
+        beta = xm[1 + p_max :]
+        ok = jnp.sum(xm[1:]) < 1.0
+        s2 = garch_mod.conditional_variances(returns, omega, alpha, beta)
+        keep = t_idx >= extra
+        ll = -0.5 * jnp.sum(
+            jnp.where(
+                keep,
+                jnp.log(2.0 * jnp.pi * s2) + (returns * returns) / s2,
+                0.0,
+            )
+        )
+        return jnp.where(ok, -ll, 1e10)
+
+    def solve_one(x0, mask, extra):
+        nll = lambda x: nll_row(x, mask, extra)
+        grad_f = jax.grad(nll)
+        hess_f = jax.hessian(nll)
+
+        def newton_step(x):
+            g = grad_f(x)
+            h = hess_f(x)
+            h = jnp.where(jnp.isfinite(h), h, 0.0)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+
+            def try_solve(mu):
+                L = jnp.linalg.cholesky(h + mu * eye)
+                ok = jnp.all(jnp.isfinite(L))
+                Ls = jnp.where(ok, L, eye)
+                y = jax.scipy.linalg.solve_triangular(Ls, g, lower=True)
+                d = jax.scipy.linalg.solve_triangular(Ls.T, y, lower=False)
+                return ok, -d
+
+            def damp_cond(c):
+                ok, _, mu = c
+                return (~ok) & (mu < 1e6)
+
+            def damp_body(c):
+                _, _, mu = c
+                mu_n = mu * 10.0
+                ok, d = try_solve(mu_n)
+                return ok, d, mu_n
+
+            ok0, d0 = try_solve(1e-10)
+            _, delta, _ = jax.lax.while_loop(
+                damp_cond, damp_body, (ok0, d0, jnp.asarray(1e-10, x.dtype))
+            )
+            f_cur = nll(x)
+
+            def project(v):
+                return jnp.where(mask > 0, jnp.maximum(v, floor), 0.0)
+
+            def ls_cond(c):
+                t, _ = c
+                worse = nll(project(x + t * delta)) > f_cur
+                return worse & (t > 1e-8)
+
+            def ls_body(c):
+                t, _ = c
+                return t * 0.5, x + t * 0.5 * delta
+
+            t, x_new = jax.lax.while_loop(ls_cond, ls_body, (1.0, x + delta))
+            s = jnp.sum(jnp.where(mask[1:] > 0, x_new[1:], 0.0))
+            x_new = x_new.at[1:].set(
+                jnp.where(s > 1.0, x_new[1:] / s, x_new[1:])
+            )  # renormalize (`opti.py:158-162`)
+            x_new = project(x_new)  # positivity floor (`:165`)
+            # reject non-improving steps + projected-step convergence
+            # (see _newton_garch_device for the rationale)
+            improved = nll(x_new) <= f_cur
+            x_new = jnp.where(improved, x_new, x)
+            step_norm = jnp.linalg.norm(x_new - x)
+            return x_new, step_norm
+
+        def cond(c):
+            _, it, norm = c
+            return (it < max_iter) & (norm >= tol)
+
+        def body(c):
+            x, it, _ = c
+            x_n, norm = newton_step(x)
+            return x_n, it + 1, norm
+
+        x, _, _ = jax.lax.while_loop(
+            cond, body, (x0, 0, jnp.asarray(jnp.inf, x0.dtype))
+        )
+        return x, nll(x)
+
+    return jax.vmap(solve_one)(inits, masks, extras)
+
+
+def _garch_candidates(returns, p_max, q_max):
+    """(inits, masks, extras, pairs): 3 starts per (p, q) pair, padded to
+    (p_max, q_max) with inactive lags pinned at zero."""
+    var = float(np.var(returns))
+    m = 1 + p_max + q_max
+    inits, masks, extras, pairs = [], [], [], []
+    for p in range(1, p_max + 1):
+        for q in range(1, q_max + 1):
+            ab = 0.5 / (p + q)
+            mask = np.zeros(m)
+            mask[0] = 1.0
+            mask[1 : 1 + p] = 1.0
+            mask[1 + p_max : 1 + p_max + q] = 1.0
+
+            def pack(omega, a, b):
+                x = np.zeros(m)
+                x[0] = omega
+                x[1 : 1 + p] = a
+                x[1 + p_max : 1 + p_max + q] = b
+                return x
+
+            # Multi-start: the reference's single init (`opti.py:103-104`)
+            # frequently lands in the constant-variance local minimum; a
+            # persistence-style init (high beta) and a low-omega init cost
+            # two extra rows in the batched device solve and dominate it.
+            for x0 in (
+                pack(0.1, ab, ab),
+                pack(0.05 * var, 0.1 / p, 0.85 / q),
+                pack(0.01 * var, 0.05 / p, 0.9 / q),
+            ):
+                inits.append(x0)
+                masks.append(mask)
+                extras.append(max(p, q))
+                pairs.append((p, q))
+    return (
+        np.stack(inits), np.stack(masks),
+        np.asarray(extras), pairs,
+    )
+
+
 def fit_garch(
     returns,
     p_max: int = 3,
@@ -160,40 +340,32 @@ def fit_garch(
     max_iter: int = 1000,
     eps: float = 1e-5,
 ) -> GarchFit:
-    """BIC-selected GARCH(p, q) fit (`garch/opti.py:89-181`)."""
+    """BIC-selected GARCH(p, q) fit (`garch/opti.py:89-181`).
+
+    All p_max * q_max * 3-start Newton solves run in ONE batched device
+    program (`_newton_garch_batched`); BIC selection happens on host."""
     returns = np.asarray(returns, dtype=float)
     n_obs = len(returns)
+    inits, masks, extras, pairs = _garch_candidates(returns, p_max, q_max)
+    xs, nlls = _newton_garch_batched(
+        returns, jnp.asarray(inits), jnp.asarray(masks),
+        jnp.asarray(extras), p_max, q_max, max_iter, tol, eps,
+    )
+    xs, nlls = np.asarray(xs), np.asarray(nlls)
     best: Optional[GarchFit] = None
-    for p in range(1, p_max + 1):
-        for q in range(1, q_max + 1):
-            ab = 0.5 / (p + q)
-            # Multi-start: the reference's single init (`opti.py:103-104`)
-            # frequently lands in the constant-variance local minimum; a
-            # persistence-style init (high beta) and a low-omega init cost
-            # two extra rows in the vmapped device solve and dominate it.
-            var = float(np.var(returns))
-            inits = np.stack(
-                [
-                    np.array([0.1] + [ab] * (p + q)),
-                    np.array(
-                        [0.05 * var] + [0.1 / p] * p + [0.85 / q] * q
-                    ),
-                    np.array([0.01 * var] + [0.05 / p] * p + [0.9 / q] * q),
-                ]
-            )
-            xs, nlls = _newton_garch_device(
-                returns, jnp.asarray(inits), p, q, max_iter, tol, eps
-            )
-            xs, nlls = np.asarray(xs), np.asarray(nlls)
-            i = int(np.argmin(nlls))
-            x, nll = xs[i], float(nlls[i])
-            num_params = 1 + p + q
-            bic = 2.0 * nll + num_params * np.log(n_obs)
-            if best is None or bic < best.bic:
-                best = GarchFit(
-                    p, q, float(x[0]), x[1 : p + 1].copy(), x[p + 1 :].copy(),
-                    nll, bic, x.copy(),
-                )
+    n_starts = len(pairs) // (p_max * q_max)
+    for j in range(p_max * q_max):
+        rows = slice(j * n_starts, (j + 1) * n_starts)
+        p, q = pairs[j * n_starts]
+        i = int(np.argmin(nlls[rows])) + j * n_starts
+        x, nll = xs[i], float(nlls[i])
+        alpha = x[1 : 1 + p].copy()
+        beta = x[1 + p_max : 1 + p_max + q].copy()
+        packed = np.concatenate([[x[0]], alpha, beta])
+        num_params = 1 + p + q
+        bic = 2.0 * nll + num_params * np.log(n_obs)
+        if best is None or bic < best.bic:
+            best = GarchFit(p, q, float(x[0]), alpha, beta, nll, bic, packed)
     return best
 
 

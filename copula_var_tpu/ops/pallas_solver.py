@@ -165,6 +165,11 @@ def bisection_solve_pallas_levels(day_tensors, w0, w1, fcombos, x, weights,
     upper = np.atleast_2d(np.asarray(upper, dtype=np.float64))
     obj_vars = np.atleast_1d(np.asarray(obj_vars, dtype=np.float64))
     L, T = lower.shape
+    if obj_vars.shape[0] != L:
+        raise ValueError(
+            f"obj_vars has {obj_vars.shape[0]} levels but the bisection "
+            f"state carries L={L} (lower/upper shape {lower.shape})"
+        )
     if float(np.max(upper - lower)) <= tolerance:
         return np.asarray((lower + upper) / 2.0, dtype=np.float32)
     # PER-LEVEL iteration counts (static; the level loop is unrolled), so

@@ -28,19 +28,28 @@ _GR = 0.6180339887498949  # (sqrt(5) - 1) / 2
 def golden_section_min(fn, lo, hi, iters: int = 90):
     """Batched golden-section minimization.
 
-    fn: (B,) -> (B,) jittable objective; lo/hi: (B,) bracket endpoints.
-    Returns (x (B,), fn(x) (B,)) with x the bracket midpoint after
-    `iters` contractions.
+    fn: (k*B,) -> (k*B,) jittable objective for k in {1, 2} — both probes
+    of an iteration are evaluated in ONE stacked call (fn sees the two
+    probe vectors concatenated), so fn must be batch-size polymorphic
+    (plain `jax.vmap` closures are; closures carrying (B,)-shaped
+    companion data must tile it to the input length). lo/hi: (B,) bracket
+    endpoints. Returns (x (B,), fn(x) (B,)) with x the bracket midpoint
+    after `iters` contractions.
     """
     lo = jnp.asarray(lo, dtype=float)
     hi = jnp.asarray(hi, dtype=float)
+
+    B = lo.shape[0]
 
     def body(_, st):
         a, b = st
         m1 = b - _GR * (b - a)
         m2 = a + _GR * (b - a)
-        f1 = fn(m1)
-        f2 = fn(m2)
+        # ONE batched objective call for both probes: when each evaluation
+        # is itself an iterative kernel (t_ppf's Newton while_loop), two
+        # sequential calls cost two full sweeps; the (2B,) batch shares one
+        f = fn(jnp.concatenate([m1, m2]))
+        f1, f2 = f[:B], f[B:]
         keep_left = f1 < f2
         return jnp.where(keep_left, a, m1), jnp.where(keep_left, m2, b)
 

@@ -129,6 +129,14 @@ def _log_t_sf(x_pos, nu):
     return jnp.log(0.5) + jnp.where(z < _SMALL_Z, log_deep, log_body)
 
 
+def _central_cut(dtype) -> float:
+    """Central-branch cutoff on 0.5 - q (see t_ppf): f64 keeps the tight
+    3e-4 window (series truncation ~1e-18 there); f32 widens to 4e-3,
+    where the series is still exact to ~1e-10 but betainc-based Newton is
+    noise-limited to ~1e-5 absolute."""
+    return 3e-4 if dtype == jnp.float64 else 4e-3
+
+
 def t_ppf(p, nu, *, iters: int = 64):
     """Inverse Student-t cdf, fully vectorized (replaces the reference's
     elementwise `scipy.stats.t.ppf` python loop, `student.py:82-104`).
@@ -170,31 +178,72 @@ def t_ppf(p, nu, *, iters: int = 64):
     hi0, _ = jax.lax.scan(grow, x0 + 1.0, None, length=8)
     lo0 = jnp.zeros_like(x0)
 
-    def body(carry, _):
-        x, lo, hi = carry
+    # Early-exit safeguarded Newton: `iters` bounds the loop, but the
+    # bracket [lo, hi] contracts to relative roundoff in ~10-25 iterations
+    # from the body/tail initial guesses, and the while_loop stops there —
+    # a fixed-length scan would pay the full 64 betainc sweeps on every
+    # call (t_ppf dominates IFM-fit and quadrature prep device time).
+    # Safe: nothing differentiates through t_ppf (betainc has no parameter
+    # derivative in JAX; the fit schedules precompute transforms outside
+    # the differentiated losses).
+    # Convergence gate: the proposed Newton step |g/dg| is a first-order
+    # estimate of the remaining error in x; iterating once it falls below
+    # ~500 eps * scale only produces a bisection dance against betainc's
+    # own noise floor (measured: ~58 of the 64 bounded iterations were
+    # spent there). Newton's quadratic phase reaches the gate in ~10-20
+    # iterations. The 0.1 scale floor keeps small-|x| lanes achievable:
+    # their absolute accuracy is noise-limited at ~eps * O(1) regardless
+    # (|d log Q/dx| ~ O(1) there), and the central Taylor branch below
+    # covers the region where that matters. Frozen (converged) lanes keep
+    # their x: a lane at its root can have x_newton == hi (float-equal),
+    # which would bisect it AWAY from the root while other lanes finish —
+    # and the global exit could land on that jump iteration.
+    eps_d = jnp.finfo(dtype).eps
+    newton_lane = (0.5 - q_safe) >= _central_cut(dtype)
+
+    def _tol_x(x):
+        # absolute term 500 eps: betainc's noise makes the Newton step
+        # jitter at ~50-250 eps absolute for body lanes (|d log Q/dx| ~ 1)
+        return 500.0 * eps_d * (jnp.abs(x) + 1.0)
+
+    def w_cond(carry):
+        x, step_mag, _, _, it = carry
+        return (it < iters) & jnp.any((step_mag > _tol_x(x)) & newton_lane)
+
+    def w_body(carry):
+        x, _, lo, hi, it = carry
         g = _log_t_sf(x, nu) - log_q
         # d/dx log Q = -pdf/Q;  log Q = log q + g  =>  Q = q * exp(g)
         log_sf = log_q + g
         dg = -jnp.exp(t_logpdf(x, nu) - log_sf)
+        step = g / dg
         # Maintain bracket: Q decreasing, so g > 0 (Q too big) => x too small.
         lo = jnp.where(g > 0, x, lo)
         hi = jnp.where(g <= 0, x, hi)
-        x_newton = x - g / dg
+        x_newton = x - step
         inside = (x_newton > lo) & (x_newton < hi)
         x_next = jnp.where(inside, x_newton, 0.5 * (lo + hi))
-        return (x_next, lo, hi), None
+        step_mag = jnp.abs(step)
+        x_next = jnp.where(step_mag <= _tol_x(x), x, x_next)  # freeze
+        return (x_next, step_mag, lo, hi, it + 1)
 
-    (x, _, _), _ = jax.lax.scan(body, (x0, lo0, hi0), None, length=iters)
+    x, _, _, _, _ = jax.lax.while_loop(
+        w_cond, w_body,
+        (x0, jnp.full_like(x0, jnp.inf), lo0, hi0, jnp.zeros((), jnp.int32)),
+    )
 
     # Central branch: betainc is ill-conditioned near z = 1 (x -> 0), so for
     # |p - 1/2| small invert the odd Taylor series of the cdf instead:
     #   F(x) = 1/2 + f(0) (x - (nu+1)/(6 nu) x^3 + O(x^5))
+    # The cutoff is dtype-dependent: in f32 betainc noise dominates out to
+    # |x| ~ 1e-2, while the (noise-free) series truncation error at the
+    # wider cutoff is ~y^5 ~ 1e-10 — far below f32 resolution.
     f0 = jnp.exp(gammaln((nu + 1.0) / 2.0) - gammaln(nu / 2.0)) / jnp.sqrt(
         nu * jnp.pi
     )
     y = (0.5 - q_safe) / f0
     x_central = y + (nu + 1.0) / (6.0 * nu) * y**3
-    x = jnp.where(0.5 - q_safe < 3e-4, x_central, x)
+    x = jnp.where(0.5 - q_safe < _central_cut(dtype), x_central, x)
 
     out = sign * x
     out = jnp.where(p == 0.5, jnp.zeros_like(out), out)

@@ -4,7 +4,10 @@ from copula_var_tpu.parallel.quadrature import (
     sharded_garch_step,
     sharded_cached_step,
     sharded_bisection_solve,
+    sharded_bisection_solve_levels,
     grid_sharded_garch_integrals,
+    grid_sharded_msm_integrals,
+    pad_days,
 )
 
 __all__ = [
@@ -13,5 +16,8 @@ __all__ = [
     "sharded_garch_step",
     "sharded_cached_step",
     "sharded_bisection_solve",
+    "sharded_bisection_solve_levels",
     "grid_sharded_garch_integrals",
+    "grid_sharded_msm_integrals",
+    "pad_days",
 ]

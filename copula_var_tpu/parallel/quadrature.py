@@ -358,6 +358,90 @@ def grid_sharded_garch_integrals(mesh: Mesh, bounds, forecast_vols, x, dx,
     return f(bounds, t0, p0, t1, p1, x, dx)
 
 
+def grid_sharded_msm_integrals(mesh: Mesh, bounds, fbs, fcombos, x, dx,
+                               densities, unique_vols, weights,
+                               spec: CopulaSpec, grid_axis: str = "grid",
+                               day_axis=None):
+    """MSM-family integrals with the OUTER grid dimension sharded.
+
+    Each device holds n/D outer coordinates and its slice of the
+    state-weight matrix W0 = densities[1] dx, computes the partial
+    (q, q) state sandwich over its rows, and the partials are
+    `psum`-reduced over ICI before the per-day combo contraction
+    (`calc_integral.py:63-109` semantics at dim 2). With `day_axis` set
+    (a 2-D ('days', 'grid') mesh), the T days shard over the other mesh
+    axis simultaneously — the day x grid product grid that scales one
+    backtest across a pod slice.
+
+    Requires n % mesh.shape[grid_axis] == 0 (and T % mesh.shape[day_axis]
+    == 0 when day_axis is given). dim == 2.
+    """
+    n = x.shape[0]
+    n_dev = mesh.shape[grid_axis]
+    if n % n_dev:
+        raise ValueError(f"num_points {n} not divisible by {n_dev} devices")
+    x = jnp.asarray(x)
+    dx = jnp.asarray(dx)
+    bounds = jnp.asarray(bounds)
+    fbs = jnp.asarray(fbs)
+    fcombos = jnp.asarray(fcombos)
+    densities = jnp.asarray(densities)
+    unique_vols = jnp.asarray(unique_vols)
+    weights = jnp.asarray(weights)
+    if day_axis is not None and bounds.shape[0] % mesh.shape[day_axis]:
+        raise ValueError(
+            f"T {bounds.shape[0]} not divisible by {mesh.shape[day_axis]}"
+        )
+
+    # per-day mixture CDFs and copula pre-transforms (the t_ppf work)
+    # hoisted OUTSIDE shard_map, per dim: (T, n)
+    u0 = jnp.sum(
+        fbs[:, 0, :, None] * norm_cdf(x[None, None, :] / unique_vols[0][:, None]),
+        axis=1,
+    )
+    u1 = jnp.sum(
+        fbs[:, 1, :, None] * norm_cdf(x[None, None, :] / unique_vols[1][:, None]),
+        axis=1,
+    )
+    t0 = _transform_columns(u0, spec)
+    t1 = _transform_columns(u1, spec)
+    # rotated density rows (`create_grids.py:121,143`)
+    w0 = densities[1] * dx[None, :]  # (q, n) -> outer dim, column-sharded
+    w1 = densities[0] * dx[None, :]  # (q, n) -> inner dim, replicated
+
+    dspec = day_axis if day_axis is not None else None
+
+    def shard_fn(b, t0_chunk, t1_full, x0_chunk, w0_chunk, fc):
+        def partial_day(bi, c0, c1, fci):
+            C = _chunk_copula_from_transformed(c0, c1, spec)
+            dyn_up = (bi[1] - x0_chunk * weights[1]) / weights[0]
+            dyn_lo = jnp.maximum(
+                (bi[0] - x0_chunk * weights[1]) / weights[0], -5.0
+            )
+            M = (x[None, :] > dyn_lo[:, None]) & (x[None, :] <= dyn_up[:, None])
+            V = jnp.where(M, C, 0.0)
+            S_part = w0_chunk @ V @ w1.T  # (q, q) partial over grid rows
+            S = jax.lax.psum(S_part, grid_axis)
+            return jnp.sum(S.reshape(-1) * fci)
+
+        return jax.vmap(partial_day)(b, t0_chunk, t1_full, fc)
+
+    f = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(dspec),
+            P(dspec, grid_axis),
+            P(dspec),
+            P(grid_axis),
+            P(None, grid_axis),
+            P(dspec),
+        ),
+        out_specs=P(dspec),
+    )
+    return f(bounds, t0, t1, x, w0, fcombos)
+
+
 def _transform_columns(u, spec: CopulaSpec):
     """Per-coordinate copula pre-transforms on a (T, n) marginal-CDF array
     — everything ppf-shaped runs here, outside shard_map. Delegates to the

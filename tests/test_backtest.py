@@ -66,7 +66,17 @@ def test_var_against_closed_form_gaussian(garch_data):
 
 
 @pytest.mark.parametrize("model", ["garch", "mean_reverting", "msm"])
-@pytest.mark.parametrize("copula", ["gaussian", "student", "plackett"])
+@pytest.mark.parametrize(
+    "copula",
+    [
+        "gaussian",
+        # the staged student IFM fit dominates suite wall time; the
+        # student path stays covered in the quick tier by
+        # test_e2e_parity.py::test_e2e_msm_student and the copula tests
+        pytest.param("student", marks=pytest.mark.slow),
+        "plackett",
+    ],
+)
 def test_full_matrix_smoke(model, copula):
     """Every (model, copula) pair builds and solves on a tiny problem."""
     data = synthetic_dataset(jax.random.PRNGKey(11), 220, 200)

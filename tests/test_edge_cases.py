@@ -1,0 +1,115 @@
+"""Edge-case hardening: NaN-day propagation, weight-sign semantics,
+undersized grids, and artifacts round-trip through the Pallas engine.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from copula_var_tpu.backtest import MsmAdapter, VaRBacktest
+from copula_var_tpu.copulas.fit import StudentFit
+from copula_var_tpu.data.returns import from_returns
+from copula_var_tpu.models.fit import MsmFit
+from copula_var_tpu.ops.grids import garch_grid, msm_grid
+from copula_var_tpu.ops.quadrature import halfspace_mask
+
+CORR = np.array([[1.0, 0.45], [0.45, 1.0]])
+
+
+def _tiny_sigma_backtest(rng, engine):
+    """sigma so small the mixture CDF saturates to {0, 1} on most grid
+    points -> t_ppf +-inf -> the student density's 0/0 NaN parity
+    (`student.py:128-131`) -> NaN CDF days."""
+    N, T = 40, 8
+    rets = rng.multivariate_normal(np.zeros(2), CORR, size=N + T)
+    data = from_returns(rets, ["A", "B"], N, np.array([0.5, 0.5]))
+    fits = [
+        MsmFit(m_0=0.45, b=3.0, gamma=0.5, sigma=1e-3, log_likelihood=0.0),
+        MsmFit(m_0=0.55, b=5.0, gamma=0.3, sigma=1.0, log_likelihood=0.0),
+    ]
+    return VaRBacktest(
+        data, MsmAdapter(k=2), "student", num_points=24,
+        model_fits_override=fits,
+        copula_fit_override=StudentFit(6.0, CORR, 0.0,
+                                       np.array([6.0, 0.45])),
+        engine=engine,
+    )
+
+
+@pytest.mark.parametrize("engine", ["xla", "pallas"])
+def test_nan_days_surface_as_nan(rng, engine):
+    """A day whose CDF is NaN has no solvable quantile: calc_var must
+    return NaN for it (`backtest.py` nan_days surfacing), on the fused
+    Pallas engine as well as XLA."""
+    bt = _tiny_sigma_backtest(rng, engine)
+    var = bt.calc_var(0.05)
+    assert var.shape == (bt.data.out_sample_n,)
+    assert np.all(np.isnan(var)), var
+
+
+def test_halfspace_mask_nonequal_and_negative_inner_weight(rng):
+    """weights[0] (the divisor, `integration_algo.py:5-20`) with both
+    signs and unequal magnitudes: the mask must equal the brute-force
+    membership test with the same strict-lower/inclusive-upper, clamped
+    semantics (`create_grids.py:102-110`)."""
+    x, _ = msm_grid(24)
+    n = len(x)
+    for w in (np.array([0.7, 0.3]), np.array([-0.5, 0.5]),
+              np.array([0.2, -0.8])):
+        lower, upper = -3.2, -1.1
+        got = np.asarray(halfspace_mask(jnp.asarray(x), lower, upper,
+                                        jnp.asarray(w)))
+        want = np.zeros((n, n), dtype=bool)
+        for i in range(n):
+            prev = x[i] * w[1]
+            dyn_up = (upper - prev) / w[0]
+            dyn_lo = max((lower - prev) / w[0], -5.0)
+            want[i] = (x > dyn_lo) & (x <= dyn_up)
+        np.testing.assert_array_equal(got, want, err_msg=f"weights={w}")
+
+
+def test_grid_raises_when_num_points_too_small():
+    """The reference's region splits silently produce an empty central
+    region when the divisors eat the whole budget; `build_grid` raises
+    instead (`ops/grids.py`). The msm/garch fixed splits (4,7)/(8,5) can
+    never trigger it (2/4 + 2/7 < 1), so drive the generic entry (nonuniform_grid)."""
+    from copula_var_tpu.ops.grids import nonuniform_grid
+
+    with pytest.raises(ValueError, match="too small"):
+        nonuniform_grid(8, outer_div=2, middle_div=2)
+    # fixed splits stay valid down to tiny sizes
+    x, dx = msm_grid(8)
+    assert len(x) == 8 and len(dx) == 8
+
+
+def test_artifacts_roundtrip_through_pallas_engine(rng, tmp_path):
+    """save -> load -> engine='pallas' solve must equal the pre-save
+    pallas solve (the checkpoint/resume path feeding the fused engine)."""
+    from copula_var_tpu.utils.artifacts import load_artifacts, save_artifacts
+
+    N, T = 40, 8
+    rets = rng.multivariate_normal(np.zeros(2), CORR, size=N + T)
+    data = from_returns(rets, ["A", "B"], N, np.array([0.5, 0.5]))
+    fits = [
+        MsmFit(m_0=0.45, b=3.0, gamma=0.5, sigma=1.0, log_likelihood=0.0),
+        MsmFit(m_0=0.55, b=5.0, gamma=0.3, sigma=1.1, log_likelihood=0.0),
+    ]
+    kwargs = dict(
+        num_points=24,
+        model_fits_override=fits,
+        copula_fit_override=StudentFit(6.0, CORR, 0.0,
+                                       np.array([6.0, 0.45])),
+    )
+    bt = VaRBacktest(data, MsmAdapter(k=2), "student", engine="pallas",
+                     **kwargs)
+    want = bt.calc_var(0.05)
+
+    path = str(tmp_path / "bt.npz")
+    save_artifacts(path, bt)
+    bt2 = load_artifacts(path, data, adapter=MsmAdapter(k=2))
+    assert bt2.engine == "xla"  # dataclass default on restored objects
+    bt2.engine = "pallas"
+    got = bt2.calc_var(0.05)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-7)

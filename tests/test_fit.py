@@ -102,14 +102,15 @@ def test_fit_student_recovers(rng):
     # t-copula samples: X = Z / sqrt(W/nu), U = t_cdf(X)
     nu = 6.0
     rho = 0.5
+    n = 500  # quick-tier size; estimator noise absorbed by the tolerance
     cov = np.array([[1.0, rho], [rho, 1.0]])
-    z = rng.multivariate_normal(np.zeros(2), cov, size=1500)
-    w = rng.chisquare(nu, size=(1500, 1))
+    z = rng.multivariate_normal(np.zeros(2), cov, size=n)
+    w = rng.chisquare(nu, size=(n, 1))
     x = z / np.sqrt(w / nu)
     from scipy.stats import t as t_dist
 
     u = t_dist.cdf(x, df=nu)
     dens = np.ones_like(u)
     res = cfit.fit_student(u, dens, nu_values=[3.0, 6.0, 12.0])
-    np.testing.assert_allclose(res.corr_matrix[0, 1], rho, atol=0.07)
+    np.testing.assert_allclose(res.corr_matrix[0, 1], rho, atol=0.1)
     assert 2.01 <= res.nu <= 50.0

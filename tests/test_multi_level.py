@@ -53,6 +53,7 @@ def test_levels_monotone(garch_bt):
     assert np.all(got[1] <= got[2] + 1e-6)
 
 
+@pytest.mark.slow
 def test_calc_var_levels_msm_student():
     data = synthetic_dataset(jax.random.PRNGKey(9), 230, 210)
     bt = create_var_backtest(data, "msm", "student", num_points=24,

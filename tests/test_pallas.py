@@ -88,14 +88,14 @@ def test_pallas_engine_backtest_matches_xla():
     np.testing.assert_allclose(var_p, var_x, atol=2e-3)
 
 
-def test_pallas_engine_requires_dim2():
+def test_pallas_engine_requires_dim2_or_3():
     import jax
 
     from copula_var_tpu.backtest import create_var_backtest
     from copula_var_tpu.data import synthetic_dataset
 
     data = synthetic_dataset(jax.random.PRNGKey(6), 240, 220,
-                             spec=("garch", "garch", "garch"))
+                             spec=("garch",) * 4)
     bt = create_var_backtest(data, "garch", "gaussian", engine="pallas",
                              num_points=16, p_max=1, q_max=1)
     with pytest.raises(ValueError, match="pallas"):

@@ -197,3 +197,62 @@ def test_sharded_bisection_solve_matches_host(rng):
         pr, pu = res, mid
     want = 0.5 * (lo + up)
     np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+@pytest.mark.parametrize("copula", ["gaussian", "student"])
+def test_grid_sharded_msm_psum_matches_dense(rng, copula):
+    """MSM-family grid sharding: partial state sandwiches psum-reduced
+    over the 'grid' axis must equal the dense single-device engine."""
+    from copula_var_tpu.parallel import grid_sharded_msm_integrals
+
+    mesh = make_mesh(n_devices=8, axis_names=("grid",))
+    bounds, fbs, fcombos, x, dx, dens, uvols = _msm_problem(rng, T=6, n=32)
+    w = np.array([0.6, 0.4])
+    params = (6.0, jnp.asarray(CORR)) if copula == "student" else (
+        jnp.asarray(CORR),
+    )
+    spec = CopulaSpec(copula, params)
+    got = np.asarray(
+        grid_sharded_msm_integrals(
+            mesh, bounds, fbs, fcombos, x, dx, dens, uvols, w, spec
+        )
+    )
+    want = np.asarray(
+        msm_integrals(bounds, fbs, fcombos, x, dx, dens, uvols, w, spec)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_grid_sharded_msm_2d_mesh(rng):
+    """2-D ('days', 'grid') mesh: days shard over one axis while each
+    integral's grid rows shard over the other — the day x grid product
+    that scales one backtest across a pod slice."""
+    from copula_var_tpu.parallel import grid_sharded_msm_integrals
+
+    mesh = make_mesh(n_devices=8, axis_names=("days", "grid"), shape=(2, 4))
+    bounds, fbs, fcombos, x, dx, dens, uvols = _msm_problem(rng, T=6, n=32)
+    w = np.array([0.5, 0.5])
+    spec = CopulaSpec("student", (6.0, jnp.asarray(CORR)))
+    got = np.asarray(
+        grid_sharded_msm_integrals(
+            mesh, bounds, fbs, fcombos, x, dx, dens, uvols, w, spec,
+            grid_axis="grid", day_axis="days",
+        )
+    )
+    want = np.asarray(
+        msm_integrals(bounds, fbs, fcombos, x, dx, dens, uvols, w, spec)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_grid_sharded_msm_requires_divisibility(rng):
+    from copula_var_tpu.parallel import grid_sharded_msm_integrals
+
+    mesh = make_mesh(n_devices=8, axis_names=("grid",))
+    bounds, fbs, fcombos, x, dx, dens, uvols = _msm_problem(rng, T=4, n=20)
+    spec = CopulaSpec("gaussian", (jnp.asarray(CORR),))
+    with pytest.raises(ValueError, match="divisible"):
+        grid_sharded_msm_integrals(
+            mesh, bounds, fbs, fcombos, x, dx, dens, uvols,
+            np.array([0.5, 0.5]), spec,
+        )

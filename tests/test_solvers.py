@@ -11,7 +11,11 @@ def test_golden_section_batched_quadratics():
     centers = jnp.asarray(np.array([-0.7, 0.0, 0.31, 42.0]))
 
     def f(x):
-        return (x - centers) ** 2 + jnp.arange(4.0)
+        # batch-size polymorphic ((k*B,) for k in {1, 2}): tile the
+        # per-lane constants to the probe batch
+        m = x.shape[0] // 4
+        c = jnp.concatenate([centers] * m)
+        return (x - c) ** 2 + jnp.concatenate([jnp.arange(4.0)] * m)
 
     lo = jnp.asarray(np.array([-1.0, -1.0, -1.0, 0.1]))
     hi = jnp.asarray(np.array([1.0, 1.0, 1.0, 100.0]))
