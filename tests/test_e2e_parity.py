@@ -141,6 +141,69 @@ def test_e2e_garch_gaussian(sequential_joblib, monkeypatch):
     _assert_series_match(ours, ref_var)
 
 
+def test_e2e_mean_reverting_plackett(sequential_joblib, monkeypatch):
+    """Full-pipeline parity, UKF mean-reverting + Plackett copula, dim 2 —
+    covers the MR adapter's per-window UKF forecasts
+    (`mean_reverting_estimation.py:192-232`, reusing the GARCH integrand)
+    and the Plackett wrapper's scalar-theta packing
+    (`plackett_estimation.py:11-36`)."""
+    rng = np.random.default_rng(23)
+    N, T, num_points = 120, 15, 40
+    weights = np.array([0.55, 0.45])
+    returns = _correlated_returns(rng, N + T, 0.45, (1.0, 1.1))
+    mr_params = [
+        # (a, l, q)
+        (0.95, -0.10, 0.20),
+        (0.90, 0.05, 0.30),
+    ]
+    theta = 4.0
+
+    # --- reference side -------------------------------------------------
+    _inject_reference_data(returns)
+    abc = ref("utils.calc_var_ABC")
+    abc.SharedCacheCopulaMRVaR.cache.clear()
+    for ticker, (a, l, q) in zip(TICKERS, mr_params):
+        # model-param cache prefill (`mean_reverting_estimation.py:36-39`)
+        abc.SharedCacheCopulaMRVaR.cache[ticker] = {
+            "optimal_params": {"a": a, "l": l, "q": q}
+        }
+    me = ref("utils.model_estimation.model.mean_reverting_estimation")
+    pw = ref("utils.model_estimation.copula.plackett_estimation")
+    monkeypatch.setattr(
+        pw.PlackettCopulaVaR,
+        "copula_or_correl_params_insample",
+        staticmethod(lambda m, d: {"theta": theta}),
+    )
+    cvc = ref("utils.calc_var_class")
+    calc = cvc.ValueAtRiskCalcualtion(
+        TICKERS, START, N, pw.PlackettCopulaVaR(me.MeanRevertingEstimation()),
+        None, num_points, weights,
+    )
+    ref_var = calc.calc_var(obj_var=0.05, first_guess=-3,
+                            second_guess=(-3.5, -2))
+
+    # --- our side ---------------------------------------------------------
+    from copula_var_tpu.backtest import MeanRevertingAdapter, VaRBacktest
+    from copula_var_tpu.copulas.fit import PlackettFit
+    from copula_var_tpu.data.returns import from_returns
+    from copula_var_tpu.models.fit import UkfFit
+
+    data = from_returns(returns, TICKERS, N, weights)
+    fits = [
+        UkfFit(a=a, l=l, q=q, log_likelihood=0.0)
+        for (a, l, q) in mr_params
+    ]
+    bt = VaRBacktest(
+        data, MeanRevertingAdapter(), "plackett", num_points=num_points,
+        model_fits_override=fits,
+        copula_fit_override=PlackettFit(theta, 0.0, np.array([theta])),
+        reference_quirks=True,
+    )
+    ours = bt.calc_var(obj_var=0.05, first_guess=-3.0,
+                       second_guess=(-3.5, -2.0))
+    _assert_series_match(ours, ref_var)
+
+
 def test_e2e_msm_student(sequential_joblib, monkeypatch):
     """Full-pipeline parity, MSM(k=4) + Student-t copula, dim 2 — the
     flagship combination (`main.py:63-71`), exercising forecasts_array
