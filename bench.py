@@ -159,17 +159,20 @@ def main():
         return min(times) / (sweeps * L)
 
     extra = {}
+    t_start = time.time()
     try:
         # headline: the SINGLE-LEVEL fused solve — directly comparable to
         # the reference's one-confidence-level workload and to prior-round
         # BENCH numbers. The 4-level confidence-ladder launch (99/97.67/
         # 96.33/95%, the production risk-desk configuration, HBM streaming
         # amortized across levels) is reported alongside, not as the
-        # headline.
+        # headline — and only when the compile budget allows (each L is a
+        # separate program; remote compiles cost minutes).
         dt = time_pallas_fused(levels=1)
         path = "pallas_fused_solver"
-        dt4 = time_pallas_fused(levels=4)
-        extra["value_4level_amortized"] = round(T / dt4, 1)
+        if time.time() - t_start < 360.0:
+            dt4 = time_pallas_fused(levels=4)
+            extra["value_4level_amortized"] = round(T / dt4, 1)
     except Exception as e:  # non-TPU backend or lowering regression
         print(f"pallas path unavailable ({type(e).__name__}: {e}); "
               "falling back to XLA", file=sys.stderr)

@@ -95,7 +95,10 @@ class BacktestConfig:
     copula_type: str = "student"  # 'gaussian' | 'student' | 'plackett'
     n_insample: int = 1135
     num_points: int = 100
-    engine: str = "xla"  # 'xla' | 'pallas' (fused f32 TPU kernel, dim == 2)
+    # 'xla' (f64-capable) | 'pallas' (fused f32 TPU kernel, dim 2-3) |
+    # 'sharded' (day-sharded SPMD over the device mesh)
+    engine: str = "xla"
+    n_mesh_devices: Optional[int] = None  # engine='sharded': mesh size (None = all)
     weights: Optional[Sequence[float]] = None  # default equal weights
     msm: MsmConfig = field(default_factory=MsmConfig)
     garch: GarchConfig = field(default_factory=GarchConfig)
@@ -181,6 +184,10 @@ def run_backtest(data, cfg: BacktestConfig):
         engine=cfg.engine,
         **adapter_kwargs(cfg),
     )
+    if cfg.engine == "sharded" and cfg.n_mesh_devices is not None:
+        from copula_var_tpu.parallel import make_mesh
+
+        bt.mesh = make_mesh(n_devices=cfg.n_mesh_devices)
     common = dict(
         first_guess=cfg.solver.first_guess,
         second_guess=cfg.solver.second_guess,

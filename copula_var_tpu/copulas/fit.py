@@ -162,10 +162,12 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
         nll_star = np.asarray(nll_star)
         i = int(np.argmin(nll_star))
         best_nll = float(nll_star[i])
+        stage1_nlls = nll_star
         best_corr_params = np.asarray(rho_star)[i : i + 1]
     else:
         best_nll, best_corr_params = np.inf, np.full(n_par, 0.5)
-        for nu in nu_values:
+        stage1_nlls = np.full(len(np.asarray(nu_values)), np.inf)
+        for j, nu in enumerate(nu_values):
             nu_dev = jnp.asarray(float(nu))
             z, fin, lus = precompute(marginals, nu_dev)
 
@@ -186,28 +188,41 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
                 options={"maxiter": max_iter},
             )
             nll = float(vag_corr(jnp.asarray(res.x), z, fin, lus, nu_dev)[0])
+            stage1_nlls[j] = nll if np.isfinite(nll) else np.inf
             if nll < best_nll:
                 best_nll, best_corr_params = nll, res.x
 
     # Stage 2: nu with best correlations (`student/opti.py:149-171`).
     # 1-D and derivative-free (JAX's betainc has no nu-derivative), so it
     # is a single on-device golden-section scan for every dim.
+    # Multimodality guard: golden section assumes unimodality (as does
+    # the reference's L-BFGS from x0=10 — a LOCAL search that can skip an
+    # off-center global minimum). Stage 1's nu grid is already a GLOBAL
+    # scan of the (nu, rho(nu)) profile, so the refinement bracket is the
+    # winning grid point's neighbor cell — globally located, and a
+    # smaller span than the full [2.01, 50] sweep.
     corr_fixed = jnp.asarray(best_corr_params)
 
-    def f_nu(nu_batch):  # (1,) -> (1,)
+    def f_nu(nu_batch):  # (k,) -> (k,)
         return jax.vmap(
             lambda nu: student.negative_log_likelihood_fixed_nu(
                 corr_fixed, nu, marginals, densities, dim
             )
         )(nu_batch)
 
-    # 40 contractions bracket nu to ~2e-7 — far beyond the statistical
-    # resolution of the profile (the reference's scipy stage-2 stops at
-    # ~1e-5); each iteration costs a full t_ppf sweep, so stage 2 is the
-    # one place the iteration budget is trimmed.
+    nu_grid = np.asarray(nu_values, dtype=float)
+    i_best = int(np.argmin(np.where(np.isfinite(stage1_nlls), stage1_nlls,
+                                    np.inf)))
+    lo_nu = nu_grid[i_best - 1] if i_best > 0 else float(nu_bounds[0])
+    hi_nu = nu_grid[i_best + 1] if i_best < len(nu_grid) - 1 else float(
+        nu_bounds[1]
+    )
+    # 40 contractions bracket nu to ~2e-7 x span — far beyond the
+    # statistical resolution of the profile (the reference's scipy
+    # stage-2 stops at ~1e-5); each iteration costs a full t_ppf sweep,
+    # so stage 2 is the one place the iteration budget is trimmed.
     nu_star, _ = golden_section_min(
-        f_nu, jnp.array([float(nu_bounds[0])]),
-        jnp.array([float(nu_bounds[1])]), iters=40,
+        f_nu, jnp.array([lo_nu]), jnp.array([hi_nu]), iters=40,
     )
     nu_opt = float(np.asarray(nu_star)[0])
     corr = np.eye(dim)

@@ -58,6 +58,52 @@ _WORKER = textwrap.dedent(
     # cross-host all-reduce (the DCN collective path)
     out = jax.jit(jnp.sum)(arr)
     print("RESULT", float(out), flush=True)
+
+    # the PRODUCTION day-sharded bisection across both processes: T=4
+    # days, 2 per host; the while_loop's convergence reduction rides the
+    # cross-process collective. Each process checks its local shards
+    # against a single-process f64 reference computed independently.
+    from copula_var_tpu.ops.grids import garch_grid
+    from copula_var_tpu.ops.quadrature import (
+        CopulaSpec, garch_day_tensors, garch_integrals_cached,
+    )
+    from copula_var_tpu.parallel import sharded_bisection_solve
+    rng = np.random.default_rng(0)
+    T, n = 4, 24
+    x, dx = garch_grid(n)
+    fv = rng.uniform(0.7, 1.4, size=(T, 2))
+    corr = np.array([[1.0, 0.45], [0.45, 1.0]])
+    spec = CopulaSpec("gaussian", (jnp.asarray(corr),))
+    w = np.array([0.5, 0.5])
+    V = garch_day_tensors(fv, x, spec)
+    entry_up = rng.uniform(-3.0, -1.0, size=T)
+    prev = np.asarray(garch_integrals_cached(
+        np.column_stack([np.full(T, -100.0), entry_up]), V, x, dx, w))
+    roots = sharded_bisection_solve(
+        mesh, V, None, None, x, dx, w,
+        np.full(T, -7.5), np.full(T, 0.0), prev, entry_up,
+        np.ones(T, dtype=bool), 0.05, 1e-6,
+    )
+    local = {int(s.index[0].start if s.index[0].start else 0): np.asarray(s.data)
+             for s in roots.addressable_shards}
+    # single-process reference bisection (host loop, same math)
+    lo, up = np.full(T, -7.5), np.full(T, 0.0)
+    pr, pu, us = prev.copy(), entry_up.copy(), np.ones(T, dtype=bool)
+    while np.any(up - lo > 1e-6):
+        mid = 0.5 * (lo + up)
+        b = np.where(us[:, None], np.column_stack([lo, mid]),
+                     np.column_stack([mid, up]))
+        mres = np.asarray(garch_integrals_cached(b, V, x, dx, w))
+        res = np.where(b[:, 0] == pu, pr + mres, pr - mres)
+        us = res < 0.05
+        lo = np.where(us, mid, lo)
+        up = np.where(us, up, mid)
+        pr, pu = res, mid
+    want = 0.5 * (lo + up)
+    for start, vals in local.items():
+        assert np.allclose(vals, want[start:start + len(vals)], atol=1e-6), (
+            start, vals, want)
+    print("SOLVE_OK", flush=True)
     """
 )
 
@@ -102,3 +148,4 @@ def test_two_process_distributed_psum(tmp_path):
     for rc, out in outs:
         assert rc == 0, out
         assert "RESULT 4.0" in out, out
+        assert "SOLVE_OK" in out, out

@@ -114,3 +114,21 @@ def test_fit_student_recovers(rng):
     res = cfit.fit_student(u, dens, nu_values=[3.0, 6.0, 12.0])
     np.testing.assert_allclose(res.corr_matrix[0, 1], rho, atol=0.1)
     assert 2.01 <= res.nu <= 50.0
+
+
+def test_fit_student_nu_refines_in_global_bracket(rng):
+    """Stage-2 nu refinement is bracketed by stage 1's GLOBAL grid scan
+    (multimodality guard): heavy-tailed nu=3 data must pull the profile
+    optimum toward the low-nu grid cell, far from the reference's
+    x0 = 10 local-search start (`student/opti.py:149-171`)."""
+    nu, rho, n = 3.0, 0.5, 400
+    cov = np.array([[1.0, rho], [rho, 1.0]])
+    z = rng.multivariate_normal(np.zeros(2), cov, size=n)
+    w = rng.chisquare(nu, size=(n, 1))
+    from scipy.stats import t as t_dist
+
+    u = t_dist.cdf(z / np.sqrt(w / nu), df=nu)
+    res = cfit.fit_student(u, np.ones_like(u), nu_values=[3.0, 8.0, 20.0])
+    # the winning grid cell is around 3 -> refinement stays in [2.01, 8]
+    assert 2.01 <= res.nu <= 8.0, res.nu
+    np.testing.assert_allclose(res.corr_matrix[0, 1], rho, atol=0.12)

@@ -98,3 +98,21 @@ def test_sharded_engine_default_mesh(rng):
     assert bt.mesh is not None and "days" in bt.mesh.axis_names
     want = _garch_backtest(data, engine="xla").calc_var(0.05)
     np.testing.assert_allclose(var, want, rtol=0, atol=1e-12)
+
+
+def test_config_driven_sharded_engine(rng):
+    """BacktestConfig(engine='sharded', n_mesh_devices=...) runs the
+    mesh solver through the config pipeline (`config.py::run_backtest`)."""
+    from copula_var_tpu.config import BacktestConfig, SolverConfig
+    from copula_var_tpu.config import run_backtest as run_cfg
+
+    data = _data(rng)
+    cfg = BacktestConfig(
+        estimation_type="garch", copula_type="gaussian", num_points=24,
+        n_insample=data.n_insample, engine="sharded", n_mesh_devices=4,
+    )
+    cfg.garch.p_max = cfg.garch.q_max = 1
+    bt, var = run_cfg(data, cfg)
+    assert bt.mesh.devices.size == 4
+    assert var.shape == (data.out_sample_n,)
+    assert np.all(np.isfinite(var))
