@@ -417,6 +417,10 @@ class VaRBacktest:
     box: tuple = (-5.0, 5.0)
     copula_fit_kwargs: Optional[dict] = None
     engine: str = "xla"  # 'xla' | 'pallas' (fused f32 TPU) | 'sharded' (mesh)
+    # engine='pallas': days solved per kernel program. The TPU grid is
+    # sequential, so this is what vectorizes the per-iteration scalar
+    # bookkeeping across days (`ops/pallas_solver.py`).
+    pallas_day_block: int = 8
     # Device mesh for engine='sharded' (a jax.sharding.Mesh with a 'days'
     # axis). None -> a 1-D mesh over all visible devices, built lazily.
     mesh: Optional[object] = None
@@ -829,6 +833,7 @@ class VaRBacktest:
             prev_result=prev_result, prev_upper=prev_upper,
             upper_stack=upper_stack, obj_var=obj_var, tolerance=tolerance,
             box_min=self.box[0], interpret=interpret,
+            day_block=self.pallas_day_block,
         )
         if isinstance(inputs, MsmIntegrationInputs):
             return msm_solve_pallas(
@@ -858,6 +863,7 @@ class VaRBacktest:
             prev_result=prev_result, prev_upper=prev_upper,
             upper_stack=upper_stack, obj_vars=obj_vars, tolerance=tolerance,
             box_min=self.box[0], interpret=interpret,
+            day_block=self.pallas_day_block,
         )
         if isinstance(inputs, MsmIntegrationInputs):
             return msm_solve_pallas_levels(
@@ -1086,6 +1092,7 @@ def create_var_backtest(
     box: tuple = (-5.0, 5.0),
     copula_fit_kwargs: Optional[dict] = None,
     engine: str = "xla",
+    pallas_day_block: int = 8,
     **adapter_kwargs,
 ) -> VaRBacktest:
     """3 models x 3 copulas factory (`factory.py:10-31`). Every pair maps
@@ -1098,4 +1105,4 @@ def create_var_backtest(
     adapter = _ADAPTERS[estimation_type](**adapter_kwargs)
     return VaRBacktest(data, adapter, copula_type, num_points=num_points,
                        box=box, copula_fit_kwargs=copula_fit_kwargs,
-                       engine=engine)
+                       engine=engine, pallas_day_block=pallas_day_block)

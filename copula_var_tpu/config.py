@@ -99,6 +99,8 @@ class BacktestConfig:
     # 'sharded' (day-sharded SPMD over the device mesh)
     engine: str = "xla"
     n_mesh_devices: Optional[int] = None  # engine='sharded': mesh size (None = all)
+    # engine='pallas': days per kernel program (see VaRBacktest.pallas_day_block)
+    pallas_day_block: int = 8
     weights: Optional[Sequence[float]] = None  # default equal weights
     msm: MsmConfig = field(default_factory=MsmConfig)
     garch: GarchConfig = field(default_factory=GarchConfig)
@@ -182,6 +184,7 @@ def run_backtest(data, cfg: BacktestConfig):
         box=cfg.solver.box,
         copula_fit_kwargs=copula_fit_kwargs(cfg),
         engine=cfg.engine,
+        pallas_day_block=cfg.pallas_day_block,
         **adapter_kwargs(cfg),
     )
     if cfg.engine == "sharded" and cfg.n_mesh_devices is not None:

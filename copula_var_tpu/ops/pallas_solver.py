@@ -4,11 +4,15 @@ The reference's bisection (`utils/calc_var_class.py:250-309`) — and our
 on-device `lax.while_loop` analog — evaluates one quadrature sweep per
 iteration, so the (T, n, n) cached day tensors stream HBM -> VMEM ~21
 times per solve. But each day's bisection is INDEPENDENT of every other
-day's: this kernel runs one program per day that loads the day tensor
-into VMEM once and executes the full bisection (mask + MXU sandwich +
-incremental-CDF bookkeeping per iteration) entirely in VMEM. HBM traffic
-per solve drops from ~iters x T n^2 to T n^2 — the bandwidth-optimal
-shape for this workload.
+day's: this kernel runs one program per BLOCK of `day_block` days that
+loads the day tensors into VMEM once and executes the full bisection
+(mask + MXU sandwich + incremental-CDF bookkeeping per iteration)
+entirely in VMEM. HBM traffic per solve drops from ~iters x T n^2 to
+T n^2 — the bandwidth-optimal shape for this workload. The TPU grid is
+SEQUENTIAL on the single TensorCore, so `day_block` > 1 is what
+vectorizes the per-iteration scalar bookkeeping across days (at B=1 the
+serialized fori_loop control flow dominates the ~0.5us/day of VPU+MXU
+work; B=8..32 amortizes it and batches the sandwich contraction).
 
 Semantics vs the reference bisection (both deviations bounded by the
 solver tolerance, documented here and asserted in tests):
@@ -53,47 +57,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _solve_kernel(n_iters_per_level, n_levels, scal_ref, x_ref, w0_ref,
-                  w1_ref, fc_ref, v_ref, out_ref):
-    # per-day operands blocked (1, L, k): Mosaic checks only the LAST TWO
-    # block dims against the array dims, so the day axis is a leading
-    # singleton
-    x = x_ref[0, :]  # (n,)
-    xo = x[:, None]  # outer coordinates as a column
-    v = v_ref[0, :, :]
-    w0 = w0_ref[:, :]
-    w1t = w1_ref[:, :].T
-    fc = fc_ref[0, :, :]  # (q, q); Mosaic cannot shape-cast to (1, q*q)
+def _solve_kernel(n_iters_per_level, n_levels, q, scal_ref, x_ref, xow_ref,
+                  w1t_ref, wfc_ref, v_ref, repl_ref, replt_ref, out_ref):
+    # One kernel program solves a BLOCK of B days at once. B > 1 amortizes
+    # the per-program scalar-loop overhead (the TPU grid is sequential, so
+    # at B=1 the serialized fori_loop control flow dominates the
+    # ~0.5us/day of actual VPU+MXU work) and batches the sandwich matmul.
+    #
+    # Mosaic layout constraints driving the data layout (this toolchain):
+    #   * rank-3 vectors trip a layout-inference check failure -> the
+    #     (B, n, n) day block is flattened b-major to (B*n, n) rows;
+    #   * 1-lane vectors/matmul outputs HANG the remote Mosaic backend ->
+    #     per-day scalar state is carried at full n-lane width (same
+    #     hardware cost: a (B, 1) vector pads to an (8, 128) tile anyway),
+    #     and the (b <-> b*n+i) moves are full-width indicator matmuls:
+    #     repl (B*n, B) @ (B, n) replicates day state onto rows, and
+    #     replt (B, B*n) @ (B*n, q) group-sums rows per day, with the
+    #     q-lane collapse + n-lane re-broadcast fused into one
+    #     (B, q) @ (q, n) ones-matmul.
+    x2 = x_ref[:, :]  # (1, n) inner-coordinate lane
+    xow = xow_ref[:, :]  # (B*n, n) outer coordinate per flattened row
+    v = v_ref[:, :]  # (B*n, n) day tensors, b-major rows
+    w1t = w1t_ref[:, :]  # (n, q)
+    wfc = wfc_ref[:, :]  # (B*n, q): wfc[b*n+i, k] = sum_s w0[s,i] fc[b,s,k]
+    repl = repl_ref[:, :]  # (B*n, B)
+    replt = replt_ref[:, :]  # (B, B*n)
+    n = x2.shape[1]
+    ones_qn = jnp.ones((q, n), dtype=jnp.float32)
 
-    # Static unrolled loop over confidence levels: the day tensor `v` is
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # Static unrolled loop over confidence levels: the day tensors are
     # loaded into VMEM ONCE and every level's full bisection runs against
-    # it — solving L levels costs one HBM stream, not L.
+    # the resident copies — solving L levels costs one HBM stream, not L.
     accs = []
     for lev in range(n_levels):
-        lower = scal_ref[0, lev, 0]
-        upper = scal_ref[0, lev, 1]
-        prev_res = scal_ref[0, lev, 2]
-        prev_up = scal_ref[0, lev, 3]
-        ustack = scal_ref[0, lev, 4] != 0.0
-        w_inner = scal_ref[0, lev, 5]
-        w_outer = scal_ref[0, lev, 6]
-        box_min = scal_ref[0, lev, 7]
-        obj_var = scal_ref[0, lev, 8]
+        # (B, n) per-day state, constant across lanes
+        col = lambda k: scal_ref[:, (lev * 9 + k) * n:(lev * 9 + k + 1) * n]
+        lower, upper = col(0), col(1)
+        prev_res, prev_up = col(2), col(3)
+        ustack = col(4) != 0.0
+        # per-day constants, replicated onto flattened rows once per level
+        win_f = dot(repl, col(5))  # (B*n, n) portfolio inner weight
+        xwo = xow * dot(repl, col(6))  # (B*n, n): x_outer * w_outer
+        boxm_f = dot(repl, col(7))
+        obj_var = col(8)
 
-        def body(_, carry, w_inner=w_inner, w_outer=w_outer,
-                 box_min=box_min, obj_var=obj_var):
-            lo, up, pr, pu, us = carry
+        def body(_, carry, win_f=win_f, xwo=xwo, boxm_f=boxm_f,
+                 obj_var=obj_var):
+            lo, up, pr, pu, us = carry  # each (B, n), lane-constant
             mid = 0.5 * (lo + up)
             # slab for this iteration (`calc_var_class.py:278-287`)
             b_lo = jnp.where(us, lo, mid)
             b_up = jnp.where(us, mid, up)
-            dyn_up = (b_up - xo * w_outer) / w_inner
-            dyn_lo = jnp.maximum((b_lo - xo * w_outer) / w_inner, box_min)
-            mask = (x[None, :] > dyn_lo) & (x[None, :] <= dyn_up)
-            vm = jnp.where(mask, v, 0.0)
-            left = jnp.dot(w0, vm, preferred_element_type=jnp.float32)
-            r = jnp.dot(left, w1t, preferred_element_type=jnp.float32)
-            integ = jnp.sum(r * fc)
+            dyn_up = (dot(repl, b_up) - xwo) / win_f  # (B*n, n)
+            dyn_lo = jnp.maximum((dot(repl, b_lo) - xwo) / win_f, boxm_f)
+            mask = (x2 > dyn_lo) & (x2 <= dyn_up)  # (B*n, n)
+            vm = jnp.where(mask, v, 0.0)  # (B*n, n)
+            a = dot(vm, w1t)  # (B*n, q): a[r, k] = sum_j vm[r, j] w1[k, j]
+            gp = dot(replt, a * wfc)  # (B, q) per-day partial sums
+            integ = dot(gp, ones_qn)  # (B, n): sum over q + lane broadcast
             # incremental CDF bookkeeping (`calc_var_class.py:237-246`)
             add = b_lo == pu
             res = jnp.where(add, pr + integ, pr - integ)
@@ -106,50 +133,86 @@ def _solve_kernel(n_iters_per_level, n_levels, scal_ref, x_ref, w0_ref,
             0, n_iters_per_level[lev], body,
             (lower, upper, prev_res, prev_up, ustack),
         )
-        accs.append(0.5 * (lo + up))
-    # Mosaic: no scalar VMEM stores — write the level vector in one shot
-    out_ref[0, :, :] = jnp.stack(accs).reshape(1, n_levels)
+        accs.append(0.5 * (lo + up))  # (B, n)
+    out_ref[:, :] = jnp.concatenate(accs, axis=1) if len(accs) > 1 else accs[0]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iters", "n_levels", "interpret", "box_min")
+    jax.jit,
+    static_argnames=("n_iters", "n_levels", "interpret", "box_min",
+                     "day_block"),
 )
 def _solve(scal, x, w0, w1, fcombos, day_tensors, n_iters, n_levels, box_min,
-           interpret):
+           interpret, day_block=8):
     f32 = jnp.float32
     T, n, _ = day_tensors.shape
     q = w0.shape[0]
     L = n_levels
-    kernel = functools.partial(_solve_kernel, n_iters, n_levels)
-    return pl.pallas_call(
+    B = max(1, min(day_block, T))
+    pad = (-T) % B
+    if pad:
+        # replicate the last day; padded outputs are sliced off below
+        def padT(a):
+            return jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)])
+    else:
+        padT = lambda a: a
+    Tp = T + pad
+    w0 = jnp.asarray(w0, f32)
+    w1 = jnp.asarray(w1, f32)
+    fc3 = padT(jnp.asarray(fcombos, f32).reshape(T, q, q))  # (Tp, q, q)
+    # hoisted first contraction: wfc[t, i, k] = sum_s w0[s, i] fc[t, s, k]
+    # (bounds-invariant, so it moves out of the per-iteration loop; the
+    # kernel then needs ONE sandwich matmul per iteration instead of two)
+    wfc = jnp.einsum("si,tsk->tik", w0, fc3).reshape(Tp * n, q)
+    v2 = padT(jnp.asarray(day_tensors, f32)).reshape(Tp * n, n)
+    xv = jnp.asarray(x, f32)
+    # outer coordinate per flattened row, at full lane width
+    xow = jnp.broadcast_to(
+        jnp.tile(xv, B).reshape(B * n, 1), (B * n, n)
+    )
+    repl = jnp.repeat(jnp.eye(B, dtype=f32), n, axis=0)  # (B*n, B)
+    # per-day scalar state at full lane width: (Tp, L*9*n)
+    scal_wide = jnp.broadcast_to(
+        padT(jnp.asarray(scal, f32).reshape(T, L, 9))[:, :, :, None],
+        (Tp, L, 9, n),
+    ).reshape(Tp, L * 9 * n)
+    kernel = functools.partial(_solve_kernel, n_iters, n_levels, q)
+    out = pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(Tp // B,),
         in_specs=[
-            pl.BlockSpec((1, L, 9), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L * 9 * n), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((q, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q, q), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * n, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, q), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * n, q), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * n, n), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * n, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, L), lambda t: (t, 0, 0),
+        out_specs=pl.BlockSpec((B, L * n), lambda t: (t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, 1, L), f32),
+        out_shape=jax.ShapeDtypeStruct((Tp, L * n), f32),
         interpret=interpret,
     )(
-        jnp.asarray(scal, f32).reshape(T, L, 9),
-        jnp.asarray(x, f32).reshape(1, n),
-        jnp.asarray(w0, f32),
-        jnp.asarray(w1, f32),
-        jnp.asarray(fcombos, f32).reshape(T, q, q),
-        jnp.asarray(day_tensors, f32),
-    )[:, 0, :]
+        scal_wide,
+        xv.reshape(1, n),
+        xow,
+        w1.T,
+        wfc,
+        v2,
+        repl,
+        repl.T,
+    )
+    # every lane of a level's n-wide group carries the same root
+    return out.reshape(Tp, L, n)[:T, :, 0]
 
 
 def bisection_solve_pallas_levels(day_tensors, w0, w1, fcombos, x, weights,
                                   lower, upper, prev_result, prev_upper,
                                   upper_stack, obj_vars, tolerance,
-                                  box_min=-5.0, *, interpret=False):
+                                  box_min=-5.0, *, interpret=False,
+                                  day_block=8):
     """(L, T) bisection roots for L confidence levels, ONE kernel launch.
 
     day_tensors (T, n, n); w0/w1 (q, n) state-weight rows (dx folded in);
@@ -206,7 +269,7 @@ def bisection_solve_pallas_levels(day_tensors, w0, w1, fcombos, x, weights,
     )  # (L, T, 9)
     out = _solve(
         np.swapaxes(scal, 0, 1), x, w0, w1, fcombos, day_tensors, n_iters,
-        L, box_min, interpret,
+        L, box_min, interpret, day_block,
     )  # (T, L)
     return np.asarray(out).T
 
@@ -214,14 +277,14 @@ def bisection_solve_pallas_levels(day_tensors, w0, w1, fcombos, x, weights,
 def bisection_solve_pallas(day_tensors, w0, w1, fcombos, x, weights,
                            lower, upper, prev_result, prev_upper,
                            upper_stack, obj_var, tolerance,
-                           box_min=-5.0, *, interpret=False):
+                           box_min=-5.0, *, interpret=False, day_block=8):
     """(T,) bisection roots, one fused kernel launch (single level)."""
     return bisection_solve_pallas_levels(
         day_tensors, w0, w1, fcombos, x, weights,
         np.asarray(lower)[None, :], np.asarray(upper)[None, :],
         np.asarray(prev_result)[None, :], np.asarray(prev_upper)[None, :],
         np.asarray(upper_stack)[None, :], [obj_var], tolerance, box_min,
-        interpret=interpret,
+        interpret=interpret, day_block=day_block,
     )[0]
 
 
@@ -234,32 +297,34 @@ def _msm_w01(densities, dx):
 
 def msm_solve_pallas(day_tensors, forecast_combos, x, dx, densities, weights,
                      lower, upper, prev_result, prev_upper, upper_stack,
-                     obj_var, tolerance, box_min=-5.0, *, interpret=False):
+                     obj_var, tolerance, box_min=-5.0, *, interpret=False,
+                     day_block=8):
     """Fused solve, MSM family (single confidence level)."""
     w0, w1 = _msm_w01(densities, dx)
     return bisection_solve_pallas(
         day_tensors, w0, w1, forecast_combos, x, weights, lower, upper,
         prev_result, prev_upper, upper_stack, obj_var, tolerance, box_min,
-        interpret=interpret,
+        interpret=interpret, day_block=day_block,
     )
 
 
 def msm_solve_pallas_levels(day_tensors, forecast_combos, x, dx, densities,
                             weights, lower, upper, prev_result, prev_upper,
                             upper_stack, obj_vars, tolerance, box_min=-5.0,
-                            *, interpret=False):
+                            *, interpret=False, day_block=8):
     """Fused multi-level solve, MSM family: (L, T) roots in one launch."""
     w0, w1 = _msm_w01(densities, dx)
     return bisection_solve_pallas_levels(
         day_tensors, w0, w1, forecast_combos, x, weights, lower, upper,
         prev_result, prev_upper, upper_stack, obj_vars, tolerance, box_min,
-        interpret=interpret,
+        interpret=interpret, day_block=day_block,
     )
 
 
 def garch_solve_pallas(day_tensors, x, dx, weights, lower, upper,
                        prev_result, prev_upper, upper_stack, obj_var,
-                       tolerance, box_min=-5.0, *, interpret=False):
+                       tolerance, box_min=-5.0, *, interpret=False,
+                       day_block=8):
     """Fused solve, GARCH/mean-reverting family (q = 1)."""
     T = day_tensors.shape[0]
     dx_row = jnp.asarray(dx)[None, :]
@@ -267,14 +332,14 @@ def garch_solve_pallas(day_tensors, x, dx, weights, lower, upper,
     return bisection_solve_pallas(
         day_tensors, dx_row, dx_row, ones, x, weights, lower, upper,
         prev_result, prev_upper, upper_stack, obj_var, tolerance, box_min,
-        interpret=interpret,
+        interpret=interpret, day_block=day_block,
     )
 
 
 def garch_solve_pallas_levels(day_tensors, x, dx, weights, lower, upper,
                               prev_result, prev_upper, upper_stack,
                               obj_vars, tolerance, box_min=-5.0, *,
-                              interpret=False):
+                              interpret=False, day_block=8):
     """Fused multi-level solve, GARCH/mean-reverting family (q = 1)."""
     T = day_tensors.shape[0]
     dx_row = jnp.asarray(dx)[None, :]
@@ -282,5 +347,5 @@ def garch_solve_pallas_levels(day_tensors, x, dx, weights, lower, upper,
     return bisection_solve_pallas_levels(
         day_tensors, dx_row, dx_row, ones, x, weights, lower, upper,
         prev_result, prev_upper, upper_stack, obj_vars, tolerance, box_min,
-        interpret=interpret,
+        interpret=interpret, day_block=day_block,
     )

@@ -204,6 +204,142 @@ def test_e2e_mean_reverting_plackett(sequential_joblib, monkeypatch):
     _assert_series_match(ours, ref_var)
 
 
+def test_e2e_garch_student(sequential_joblib, monkeypatch):
+    """Full-pipeline parity, GARCH(1,1) + Student-t copula, dim 2 —
+    crosses the Student wrapper's (nu, rho) packing
+    (`student_estimation.py:22-56`) with the GARCH integrand's explicit
+    pdf product (`garch_integration_function.py:31-40`), a pairing no
+    other e2e test exercises."""
+    rng = np.random.default_rng(31)
+    N, T, num_points = 130, 15, 40
+    weights = np.array([0.65, 0.35])
+    returns = _correlated_returns(rng, N + T, 0.35, (0.9, 1.3))
+    garch_params = [
+        (0.08, 0.10, 0.85),
+        (0.04, 0.05, 0.92),
+    ]
+    nu = 5.0
+    corr = np.array([[1.0, 0.35], [0.35, 1.0]])
+
+    # --- reference side -------------------------------------------------
+    _inject_reference_data(returns)
+    abc = ref("utils.calc_var_ABC")
+    abc.SharedCacheCopulaGarchVaR.cache.clear()
+    for ticker, (omega, alpha, beta) in zip(TICKERS, garch_params):
+        abc.SharedCacheCopulaGarchVaR.cache[ticker] = {
+            "optimal_params": {
+                "best_pq": (1, 1),
+                "best_params": np.array([omega, alpha, beta]),
+                "best_bic": 0.0,
+            }
+        }
+    ge = ref("utils.model_estimation.model.garch_estimation")
+    sw = ref("utils.model_estimation.copula.student_estimation")
+    monkeypatch.setattr(
+        sw.StudentCopulaVaR,
+        "copula_or_correl_params_insample",
+        staticmethod(
+            lambda m, d: {"optimized_params": np.array([nu]),
+                          "corr_matrix": corr}
+        ),
+    )
+    cvc = ref("utils.calc_var_class")
+    calc = cvc.ValueAtRiskCalcualtion(
+        TICKERS, START, N, sw.StudentCopulaVaR(ge.GarchEstimation()),
+        None, num_points, weights,
+    )
+    ref_var = calc.calc_var(obj_var=0.05, first_guess=-3,
+                            second_guess=(-3.5, -2))
+
+    # --- our side ---------------------------------------------------------
+    from copula_var_tpu.backtest import GarchAdapter, VaRBacktest
+    from copula_var_tpu.copulas.fit import StudentFit
+    from copula_var_tpu.data.returns import from_returns
+    from copula_var_tpu.models.fit import GarchFit
+
+    data = from_returns(returns, TICKERS, N, weights)
+    fits = [
+        GarchFit(1, 1, omega, np.array([alpha]), np.array([beta]), 0.0,
+                 0.0, np.array([omega, alpha, beta]))
+        for (omega, alpha, beta) in garch_params
+    ]
+    bt = VaRBacktest(
+        data, GarchAdapter(), "student", num_points=num_points,
+        model_fits_override=fits,
+        copula_fit_override=StudentFit(
+            nu, corr, 0.0, np.array([nu, corr[0, 1]])
+        ),
+        reference_quirks=True,
+    )
+    ours = bt.calc_var(obj_var=0.05, first_guess=-3.0,
+                       second_guess=(-3.5, -2.0))
+    _assert_series_match(ours, ref_var)
+
+
+def test_e2e_msm_plackett(sequential_joblib, monkeypatch):
+    """Full-pipeline parity, MSM(k=2) + Plackett copula, dim 2 — crosses
+    the MSM mixture-CDF integrand (`msm_integration_function.py:34-47`)
+    with the Plackett closed-form density (`plackett.py:45-71`), and
+    covers k=2 (the other value for which the reference's
+    `int(sqrt(2^k))` k-recovery quirk is valid,
+    `msm_estimation.py:125`)."""
+    rng = np.random.default_rng(43)
+    N, T, num_points, k = 110, 12, 36, 2
+    weights = np.array([0.5, 0.5])
+    returns = _correlated_returns(rng, N + T, 0.5, (1.0, 0.95))
+    msm_params = [
+        # (m_0, sig, b, gamma)
+        (0.5, 0.9, 4.0, 0.4),
+        (0.6, 1.1, 2.5, 0.6),
+    ]
+    theta = 6.0
+
+    # --- reference side -------------------------------------------------
+    _inject_reference_data(returns)
+    abc = ref("utils.calc_var_ABC")
+    abc.SharedCacheCopulaMSMVaR.cache.clear()
+    for ticker, (m_0, sig, b, gamma) in zip(TICKERS, msm_params):
+        abc.SharedCacheCopulaMSMVaR.cache[(ticker, k)] = {
+            "optimal_params": {"m_0": m_0, "sig": sig, "b": b,
+                               "gamma": gamma}
+        }
+    me = ref("utils.model_estimation.model.msm_estimation")
+    pw = ref("utils.model_estimation.copula.plackett_estimation")
+    monkeypatch.setattr(
+        pw.PlackettCopulaVaR,
+        "copula_or_correl_params_insample",
+        staticmethod(lambda m, d: {"theta": theta}),
+    )
+    cvc = ref("utils.calc_var_class")
+    calc = cvc.ValueAtRiskCalcualtion(
+        TICKERS, START, N, pw.PlackettCopulaVaR(me.MSMEstimation()),
+        None, num_points, weights, k=k,
+    )
+    ref_var = calc.calc_var(obj_var=0.05, first_guess=-3,
+                            second_guess=(-3.5, -2))
+
+    # --- our side ---------------------------------------------------------
+    from copula_var_tpu.backtest import MsmAdapter, VaRBacktest
+    from copula_var_tpu.copulas.fit import PlackettFit
+    from copula_var_tpu.data.returns import from_returns
+    from copula_var_tpu.models.fit import MsmFit
+
+    data = from_returns(returns, TICKERS, N, weights)
+    fits = [
+        MsmFit(m_0=m_0, b=b, gamma=gamma, sigma=sig, log_likelihood=0.0)
+        for (m_0, sig, b, gamma) in msm_params
+    ]
+    bt = VaRBacktest(
+        data, MsmAdapter(k=k), "plackett", num_points=num_points,
+        model_fits_override=fits,
+        copula_fit_override=PlackettFit(theta, 0.0, np.array([theta])),
+        reference_quirks=True,
+    )
+    ours = bt.calc_var(obj_var=0.05, first_guess=-3.0,
+                       second_guess=(-3.5, -2.0))
+    _assert_series_match(ours, ref_var)
+
+
 def test_e2e_msm_student(sequential_joblib, monkeypatch):
     """Full-pipeline parity, MSM(k=4) + Student-t copula, dim 2 — the
     flagship combination (`main.py:63-71`), exercising forecasts_array
