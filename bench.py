@@ -37,6 +37,91 @@ import numpy as np
 REF_NODE_INTEGRALS_PER_SEC = 5.42 * 32  # measured 2026-08-17, see docstring
 
 
+def pallas_canary():
+    """Hardware-lowering canary: run every shipped Pallas kernel at tiny
+    shapes BEFORE the timed section, so a Mosaic lowering regression is
+    recorded as an explicit `pallas_error` field in the bench JSON instead
+    of a silent path downgrade (the r02 failure mode: the fused solver
+    stopped compiling on TPU and the headline quietly fell back to XLA,
+    visible only in the stderr tail). Returns {kernel_name: error_str}."""
+    import numpy as np
+
+    errors = {}
+    rng = np.random.default_rng(0)
+    T, n, q, dim = 8, 40, 5, 2
+    from copula_var_tpu.ops.grids import msm_grid
+
+    x, dx = msm_grid(n)
+    uvols = np.sort(rng.uniform(0.4, 1.8, size=(dim, q)), axis=1)
+    dens = np.exp(-0.5 * (x[None, None, :] / uvols[:, :, None]) ** 2) / (
+        np.sqrt(2 * np.pi) * uvols[:, :, None]
+    )
+    fbs = rng.uniform(0.1, 1.0, size=(T, dim, q))
+    fbs /= fbs.sum(axis=2, keepdims=True)
+    fcombos = np.einsum("ti,tj->tij", fbs[:, 0], fbs[:, 1]).reshape(T, -1)
+    C = rng.uniform(0.0, 1.0, size=(T, n, n)).astype(np.float32)
+    w = np.array([0.5, 0.5])
+    lo1, up1 = np.full(T, -7.5), np.full(T, 0.0)
+    pr, pu = np.full(T, 0.2), np.full(T, -3.0)
+    us = np.ones(T, dtype=bool)
+
+    def check(name, fn):
+        try:
+            r = np.asarray(fn())
+            if not np.all(np.isfinite(r)):
+                errors[name] = "non-finite output"
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+
+    from copula_var_tpu.ops.pallas_solver import (
+        garch_solve_pallas,
+        msm_solve_pallas,
+        msm_solve_pallas_levels,
+    )
+
+    check("pallas_solver.msm", lambda: msm_solve_pallas(
+        C, fcombos, x, dx, dens, w, lo1, up1, pr, pu, us, 0.05, 1e-6))
+    check("pallas_solver.msm_levels", lambda: msm_solve_pallas_levels(
+        C, fcombos, x, dx, dens, w, np.tile(lo1, (2, 1)),
+        np.tile(up1, (2, 1)), np.tile(pr, (2, 1)), np.tile(pu, (2, 1)),
+        np.tile(us, (2, 1)), [0.01, 0.05], 1e-6))
+    check("pallas_solver.garch_q1", lambda: garch_solve_pallas(
+        C, x, dx, w, lo1, up1, pr, pu, us, 0.05, 1e-6))
+
+    from copula_var_tpu.ops.pallas_quadrature import msm_integrals_pallas
+
+    bounds = np.column_stack([np.full(T, -100.0), np.full(T, -3.0)])
+    check("pallas_quadrature.msm", lambda: msm_integrals_pallas(
+        bounds, C, fcombos, x, dx, dens, w))
+
+    try:
+        from copula_var_tpu.ops.pallas_quadrature3 import (
+            build_msm_dim3_cache,
+            dim3_integrals_pallas,
+        )
+        from copula_var_tpu.ops.quadrature import CopulaSpec
+
+        uv3 = np.sort(rng.uniform(0.4, 1.8, size=(3, q)), axis=1)
+        dens3 = np.exp(-0.5 * (x[None, None, :] / uv3[:, :, None]) ** 2) / (
+            np.sqrt(2 * np.pi) * uv3[:, :, None]
+        )
+        fbs3 = rng.uniform(0.1, 1.0, size=(T, 3, q))
+        fbs3 /= fbs3.sum(axis=2, keepdims=True)
+        fc3 = np.einsum("ti,tj,tk->tijk", fbs3[:, 0], fbs3[:, 1],
+                        fbs3[:, 2]).reshape(T, -1)
+        corr3 = np.eye(3) + 0.3 * (np.ones((3, 3)) - np.eye(3))
+        spec3 = CopulaSpec("student", (6.0, corr3))
+        w3 = np.array([0.4, 0.3, 0.3])
+        cache3 = build_msm_dim3_cache(fbs3, fc3, x, dx, dens3, uv3, w3,
+                                      spec3)
+        check("pallas_quadrature3.dim3", lambda: dim3_integrals_pallas(
+            bounds, cache3, family="msm", kind=spec3.kind))
+    except Exception as e:  # pragma: no cover - import/shape scaffolding
+        errors["pallas_quadrature3.setup"] = f"{type(e).__name__}: {e}"[:300]
+
+    return errors
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -160,7 +245,18 @@ def main():
 
     extra = {}
     t_start = time.time()
+    # Hardware-lowering canary FIRST: every shipped Pallas kernel compiles
+    # and runs at tiny shapes, failures recorded as an explicit JSON field
+    # (never a silent path switch — the r02 regression mode).
+    canary_errors = pallas_canary()
+    if canary_errors:
+        extra["pallas_error"] = canary_errors
+        print(f"pallas canary failures: {canary_errors}", file=sys.stderr)
     try:
+        if any(k.startswith("pallas_solver") for k in canary_errors):
+            raise RuntimeError(
+                "fused-solver canary failed; see pallas_error field"
+            )
         # headline: the SINGLE-LEVEL fused solve — directly comparable to
         # the reference's one-confidence-level workload and to prior-round
         # BENCH numbers. The 4-level confidence-ladder launch (99/97.67/
@@ -176,6 +272,9 @@ def main():
     except Exception as e:  # non-TPU backend or lowering regression
         print(f"pallas path unavailable ({type(e).__name__}: {e}); "
               "falling back to XLA", file=sys.stderr)
+        extra.setdefault("pallas_error", {})[
+            "headline"
+        ] = f"{type(e).__name__}: {e}"[:300]
         dt = time_xla()
         path = "xla_cached_scan"
 

@@ -17,6 +17,7 @@ device code is shared with the quadrature engine's copula kernels.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -48,6 +49,65 @@ class PlackettFit(NamedTuple):
     theta: float
     nll: float
     packed_params: np.ndarray  # [theta]
+
+
+@functools.partial(jax.jit, static_argnames=("dim", "n_par", "max_iter"))
+def _student_stage1_device(marginals, nu_arr, log_density_sum, dim, n_par,
+                           max_iter=200, tol=1e-8):
+    """ALL stage-1 per-nu correlation solves as ONE device program.
+
+    The reference runs one scipy L-BFGS-B per nu in the grid
+    (`student/opti.py:116-147`); for dim == 2 we replace that with a
+    lockstep golden-section scan, and for dim >= 3 (n_par > 1) THIS:
+    a vmapped optax L-BFGS (with zoom linesearch) over the nu grid,
+    rho bounded to (-0.99, 0.99) by a tanh reparameterization (the
+    reference's box bounds) and non-PD proposals rejected by the loss's
+    PENALTY plateau (zero gradient outside PD, so the linesearch backs
+    off exactly like the reference's 1e10 penalty). One dispatch for the
+    whole stage; the per-nu t_ppf transforms are precomputed in the same
+    program.
+
+    Returns (rho_b (B, n_par), nll_b (B,)).
+    """
+    import optax
+    import optax.tree_utils as otu
+
+    z_b, fin_b, lus_b = jax.vmap(
+        lambda nu: student.precompute_transform(marginals, nu)
+    )(nu_arr)
+    scale = 0.99
+
+    def solve_one(z, fin, lus, nu):
+        def loss(s):
+            rho = scale * jnp.tanh(s)
+            return student.negative_log_likelihood_from_transform(
+                rho, z, fin, lus, nu, log_density_sum, dim
+            )
+
+        opt = optax.lbfgs()
+        vg = optax.value_and_grad_from_state(loss)
+
+        def step(carry):
+            s, state = carry
+            value, grad = vg(s, state=state)
+            updates, state = opt.update(
+                grad, state, s, value=value, grad=grad, value_fn=loss
+            )
+            return optax.apply_updates(s, updates), state
+
+        def cont(carry):
+            _, state = carry
+            it = otu.tree_get(state, "count")
+            err = otu.tree_l2_norm(otu.tree_get(state, "grad"))
+            return (it == 0) | ((it < max_iter) & (err >= tol))
+
+        s0 = jnp.full((n_par,), jnp.arctanh(0.5 / scale),
+                      dtype=marginals.dtype)
+        s_fin, _ = jax.lax.while_loop(cont, step, (s0, opt.init(s0)))
+        rho = scale * jnp.tanh(s_fin)
+        return rho, loss(s_fin)
+
+    return jax.vmap(solve_one)(z_b, fin_b, lus_b, nu_arr)
 
 
 def _scipy_fun(jitted_value_and_grad):
@@ -127,14 +187,6 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
     # only the Cholesky quadratic form. One jitted loss serves the whole
     # grid (nu is traced + stop_gradient'ed).
     log_density_sum = float(jnp.sum(jnp.log(densities)))
-    precompute = jax.jit(student.precompute_transform)
-    vag_corr = jax.jit(
-        jax.value_and_grad(
-            lambda c, z, fin, lus, nu: student.negative_log_likelihood_from_transform(
-                c, z, fin, lus, nu, log_density_sum, dim
-            )
-        )
-    )
     if dim == 2:
         # 1-D in rho per nu: ALL nu-grid profiles run lockstep in ONE
         # on-device golden-section scan (the transforms for every nu are
@@ -165,32 +217,18 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
         stage1_nlls = nll_star
         best_corr_params = np.asarray(rho_star)[i : i + 1]
     else:
-        best_nll, best_corr_params = np.inf, np.full(n_par, 0.5)
-        stage1_nlls = np.full(len(np.asarray(nu_values)), np.inf)
-        for j, nu in enumerate(nu_values):
-            nu_dev = jnp.asarray(float(nu))
-            z, fin, lus = precompute(marginals, nu_dev)
-
-            def fun(xv, z=z, fin=fin, lus=lus, nu_dev=nu_dev):
-                v, g = vag_corr(jnp.asarray(xv), z, fin, lus, nu_dev)
-                v = float(v)
-                if not np.isfinite(v):
-                    return 1e10, np.zeros(n_par)
-                return v, np.nan_to_num(np.asarray(g, dtype=float))
-
-            res = minimize(
-                fun,
-                x0=np.full(n_par, 0.5),
-                jac=True,
-                method="L-BFGS-B",
-                bounds=[(-0.99, 0.99)] * n_par,
-                tol=tol,
-                options={"maxiter": max_iter},
-            )
-            nll = float(vag_corr(jnp.asarray(res.x), z, fin, lus, nu_dev)[0])
-            stage1_nlls[j] = nll if np.isfinite(nll) else np.inf
-            if nll < best_nll:
-                best_nll, best_corr_params = nll, res.x
+        # dim >= 3: ONE device dispatch for the whole nu grid — a vmapped
+        # L-BFGS over (nu, n_par) replaces the reference's per-nu scipy
+        # loop (and round 2's host loop with per-call transport).
+        nu_arr = jnp.asarray(np.asarray(nu_values, dtype=float))
+        rho_b, nll_b = _student_stage1_device(
+            marginals, nu_arr, jnp.asarray(log_density_sum), dim, n_par
+        )
+        stage1_nlls = np.asarray(nll_b)
+        stage1_nlls = np.where(np.isfinite(stage1_nlls), stage1_nlls, np.inf)
+        i = int(np.argmin(stage1_nlls))
+        best_nll = float(stage1_nlls[i])
+        best_corr_params = np.asarray(rho_b)[i]
 
     # Stage 2: nu with best correlations (`student/opti.py:149-171`).
     # 1-D and derivative-free (JAX's betainc has no nu-derivative), so it

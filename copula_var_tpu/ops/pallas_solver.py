@@ -57,8 +57,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _solve_kernel(n_iters_per_level, n_levels, q, scal_ref, x_ref, xow_ref,
-                  w1t_ref, wfc_ref, v_ref, repl_ref, replt_ref, out_ref):
+def _lane_round(n):
+    """Round up to the 128-lane tile width.
+
+    Per-state column groups inside the packed scalar-state array must
+    start at multiples of 128: a slice at a non-tile-aligned lane offset
+    (e.g. 4*n = 400 -> offset 16) gives every derived vector an offset
+    layout, and a fori_loop carry whose layout differs from the loop
+    entry's makes Mosaic insert `tpu.rotate` fixups on the back-edge —
+    which failed with an internal error on i1 carries (the r02
+    regression, BENCH_r02.json tail).
+    """
+    return ((n + 127) // 128) * 128
+
+
+def _solve_kernel(n_iters_per_level, n_levels, q, ns, scal_ref, x_ref,
+                  xow_ref, w1t_ref, wfc_ref, v_ref, repl_ref, replt_ref,
+                  out_ref):
     # One kernel program solves a BLOCK of B days at once. B > 1 amortizes
     # the per-program scalar-loop overhead (the TPU grid is sequential, so
     # at B=1 the serialized fori_loop control flow dominates the
@@ -96,11 +111,14 @@ def _solve_kernel(n_iters_per_level, n_levels, q, scal_ref, x_ref, xow_ref,
     # the resident copies — solving L levels costs one HBM stream, not L.
     accs = []
     for lev in range(n_levels):
-        # (B, n) per-day state, constant across lanes
-        col = lambda k: scal_ref[:, (lev * 9 + k) * n:(lev * 9 + k + 1) * n]
+        # (B, n) per-day state, constant across lanes; each column group
+        # starts at a multiple of ns (lane-tile aligned, see _lane_round)
+        col = lambda k: scal_ref[:, (lev * 9 + k) * ns:(lev * 9 + k) * ns + n]
         lower, upper = col(0), col(1)
         prev_res, prev_up = col(2), col(3)
-        ustack = col(4) != 0.0
+        # carried as f32 0/1, NOT i1: boolean loop carries tripped a
+        # Mosaic internal error on the back-edge layout fixup (r02)
+        ustack = col(4)
         # per-day constants, replicated onto flattened rows once per level
         win_f = dot(repl, col(5))  # (B*n, n) portfolio inner weight
         xwo = xow * dot(repl, col(6))  # (B*n, n): x_outer * w_outer
@@ -109,11 +127,12 @@ def _solve_kernel(n_iters_per_level, n_levels, q, scal_ref, x_ref, xow_ref,
 
         def body(_, carry, win_f=win_f, xwo=xwo, boxm_f=boxm_f,
                  obj_var=obj_var):
-            lo, up, pr, pu, us = carry  # each (B, n), lane-constant
+            lo, up, pr, pu, us = carry  # each (B, n) f32, lane-constant
             mid = 0.5 * (lo + up)
             # slab for this iteration (`calc_var_class.py:278-287`)
-            b_lo = jnp.where(us, lo, mid)
-            b_up = jnp.where(us, mid, up)
+            usb = us != 0.0
+            b_lo = jnp.where(usb, lo, mid)
+            b_up = jnp.where(usb, mid, up)
             dyn_up = (dot(repl, b_up) - xwo) / win_f  # (B*n, n)
             dyn_lo = jnp.maximum((dot(repl, b_lo) - xwo) / win_f, boxm_f)
             mask = (x2 > dyn_lo) & (x2 <= dyn_up)  # (B*n, n)
@@ -127,7 +146,7 @@ def _solve_kernel(n_iters_per_level, n_levels, q, scal_ref, x_ref, xow_ref,
             us_n = res < obj_var
             lo_n = jnp.where(us_n, mid, lo)
             up_n = jnp.where(us_n, up, mid)
-            return lo_n, up_n, res, mid, us_n
+            return lo_n, up_n, res, mid, us_n.astype(lo.dtype)
 
         lo, up, _, _, _ = jax.lax.fori_loop(
             0, n_iters_per_level[lev], body,
@@ -135,6 +154,32 @@ def _solve_kernel(n_iters_per_level, n_levels, q, scal_ref, x_ref, xow_ref,
         )
         accs.append(0.5 * (lo + up))  # (B, n)
     out_ref[:, :] = jnp.concatenate(accs, axis=1) if len(accs) > 1 else accs[0]
+
+
+def _clamp_day_block(day_block, T, n, q, L, vmem_budget=10 * 2 ** 20):
+    """Largest B <= day_block whose resident VMEM footprint fits budget.
+
+    Resident f32 blocks per program (x2 on the grid-indexed ones for
+    double buffering): scal (B, L*9*ns), xow/v2 (B*n, n), wfc (B*n, q),
+    repl/replt (B*n, B) x2, out (B, L*n). Without this clamp a large
+    (num_points, day_block) pair fails Mosaic allocation with an obscure
+    error instead of degrading gracefully (ADVICE r02).
+    """
+    ns = _lane_round(n)
+    qp = max(q, 2)
+    for B in range(max(1, min(day_block, T)), 0, -1):
+        byt = 4 * (
+            2 * (B * L * 9 * ns)        # scal (double-buffered)
+            + B * n * n                 # xow
+            + 2 * (B * n * n)           # v2 (double-buffered)
+            + 2 * (B * n * qp)          # wfc (double-buffered)
+            + n * qp + n                # w1t, x
+            + 2 * (B * n * B)           # repl, replt
+            + 2 * (B * L * n)           # out (double-buffered)
+        )
+        if byt <= vmem_budget:
+            return B
+    return 1
 
 
 @functools.partial(
@@ -148,7 +193,7 @@ def _solve(scal, x, w0, w1, fcombos, day_tensors, n_iters, n_levels, box_min,
     T, n, _ = day_tensors.shape
     q = w0.shape[0]
     L = n_levels
-    B = max(1, min(day_block, T))
+    B = _clamp_day_block(day_block, T, n, q, L)
     pad = (-T) % B
     if pad:
         # replicate the last day; padded outputs are sliced off below
@@ -159,29 +204,54 @@ def _solve(scal, x, w0, w1, fcombos, day_tensors, n_iters, n_levels, box_min,
     Tp = T + pad
     w0 = jnp.asarray(w0, f32)
     w1 = jnp.asarray(w1, f32)
+    if q == 1:
+        # GARCH/mean-reverting family: pad the state axis to 2 lanes with
+        # a zero-weight row — 1-lane matmul operands/outputs are exactly
+        # the shape documented below as hanging the remote Mosaic backend
+        # (ADVICE r02). The zero row contributes nothing to any sum.
+        w0 = jnp.concatenate([w0, jnp.zeros_like(w0)], axis=0)
+        w1 = jnp.concatenate([w1, jnp.zeros_like(w1)], axis=0)
+        fcombos = jnp.pad(jnp.asarray(fcombos, f32).reshape(T, 1, 1),
+                          ((0, 0), (0, 1), (0, 1))).reshape(T, 4)
+        q = 2
     fc3 = padT(jnp.asarray(fcombos, f32).reshape(T, q, q))  # (Tp, q, q)
     # hoisted first contraction: wfc[t, i, k] = sum_s w0[s, i] fc[t, s, k]
     # (bounds-invariant, so it moves out of the per-iteration loop; the
     # kernel then needs ONE sandwich matmul per iteration instead of two)
     wfc = jnp.einsum("si,tsk->tik", w0, fc3).reshape(Tp * n, q)
-    v2 = padT(jnp.asarray(day_tensors, f32)).reshape(Tp * n, n)
+    # NaN isolation: a NaN day tensor (reference-parity 0/0 densities,
+    # masked upstream via nan_days and overwritten with NaN outputs)
+    # would otherwise contaminate every day in its block through the
+    # group-sum matmul (0 * NaN = NaN). Zero it here — the solver's
+    # outputs for those days are discarded by the caller anyway.
+    v2 = jnp.nan_to_num(
+        padT(jnp.asarray(day_tensors, f32)), nan=0.0, posinf=0.0,
+        neginf=0.0,
+    ).reshape(Tp * n, n)
+    wfc = jnp.nan_to_num(wfc, nan=0.0, posinf=0.0, neginf=0.0)
     xv = jnp.asarray(x, f32)
     # outer coordinate per flattened row, at full lane width
     xow = jnp.broadcast_to(
         jnp.tile(xv, B).reshape(B * n, 1), (B * n, n)
     )
     repl = jnp.repeat(jnp.eye(B, dtype=f32), n, axis=0)  # (B*n, B)
-    # per-day scalar state at full lane width: (Tp, L*9*n)
+    # per-day scalar state at full lane width, each of the L*9 column
+    # groups padded to the 128-lane tile (ns) so every in-kernel slice
+    # is tile-aligned (see _lane_round): (Tp, L*9*ns)
+    ns = _lane_round(n)
     scal_wide = jnp.broadcast_to(
         padT(jnp.asarray(scal, f32).reshape(T, L, 9))[:, :, :, None],
         (Tp, L, 9, n),
-    ).reshape(Tp, L * 9 * n)
-    kernel = functools.partial(_solve_kernel, n_iters, n_levels, q)
+    )
+    scal_wide = jnp.pad(
+        scal_wide, ((0, 0), (0, 0), (0, 0), (0, ns - n))
+    ).reshape(Tp, L * 9 * ns)
+    kernel = functools.partial(_solve_kernel, n_iters, n_levels, q, ns)
     out = pl.pallas_call(
         kernel,
         grid=(Tp // B,),
         in_specs=[
-            pl.BlockSpec((B, L * 9 * n), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, L * 9 * ns), lambda t: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((B * n, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((n, q), lambda t: (0, 0), memory_space=pltpu.VMEM),

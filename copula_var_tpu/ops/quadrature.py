@@ -469,9 +469,27 @@ def garch_integrals_cached(bounds, V, x, dx, weights, box_min=BOX_MIN):
 # day_batch * n^dim regardless of T.
 
 
+# One day's density grid may transiently materialize n^dim f64 elements;
+# beyond this budget even a 1-day chunk is an HBM-OOM hazard (n=100,
+# dim=4 -> 1e8 elements = 800 MB). Fail loudly instead of letting the
+# scheduler discover it (the reference's engine is likewise fragile above
+# dim 2 — `create_grids.py:135-137` — but fails silently/wrong).
+MAX_GRID_ELEMENTS_PER_DAY = 1 << 24  # 128 MB f64
+
+
 def _day_batch(n: int, dim: int, T: int) -> int:
     """Chunk size bounding transient density-grid memory to ~2^21 f64
-    elements (16 MB) per chunk."""
+    elements (16 MB) per chunk; raises if even one day exceeds the
+    per-day transient budget."""
+    if n**dim > MAX_GRID_ELEMENTS_PER_DAY:
+        raise ValueError(
+            f"quadrature grid of num_points={n}^dim={dim} = {n**dim:.2e} "
+            f"points per day exceeds the "
+            f"{MAX_GRID_ELEMENTS_PER_DAY:.2e}-element transient budget "
+            f"(~{MAX_GRID_ELEMENTS_PER_DAY * 8 >> 20} MB f64). Reduce "
+            f"num_points (e.g. <= {int(MAX_GRID_ELEMENTS_PER_DAY ** (1 / dim))} "
+            f"at dim={dim}) or the portfolio dimension."
+        )
     return max(1, min(T, (1 << 21) // max(1, n**dim)))
 
 

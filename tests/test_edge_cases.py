@@ -113,3 +113,54 @@ def test_artifacts_roundtrip_through_pallas_engine(rng, tmp_path):
     bt2.engine = "pallas"
     got = bt2.calc_var(0.05)
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-7)
+
+
+def test_dim4_transient_budget_guard():
+    """dim >= 4 at production num_points must fail LOUDLY, not OOM: at
+    n=100, dim=4 one day's density grid is 1e8 f64 elements (~800 MB) —
+    `_day_batch` rejects it with an actionable message instead of letting
+    the scheduler discover it (the reference's engine silently corrupts
+    above dim 2, `create_grids.py:135-137`)."""
+    from copula_var_tpu.ops.quadrature import _day_batch
+
+    with pytest.raises(ValueError, match="transient budget"):
+        _day_batch(100, 4, 500)
+    # small-n dim-4 stays within budget and yields a valid chunk size
+    assert _day_batch(20, 4, 500) >= 1
+
+
+def test_dim4_small_n_quadrature_runs():
+    """The any-dim tcached engine actually computes a dim-4 integral at
+    small n (the guard is a memory bound, not a dimensionality cap):
+    independent-copula integral over the full box factorizes to the
+    product of per-dim masses — an analytic cross-check."""
+    from copula_var_tpu.ops.quadrature import (
+        CopulaSpec,
+        garch_day_columns,
+        garch_integrals_tcached,
+    )
+    from copula_var_tpu.ops.grids import garch_grid
+
+    dim, n, T = 4, 16, 3
+    x, dx = garch_grid(n)
+    corr = np.eye(dim)
+    spec = CopulaSpec("gaussian", (jnp.asarray(corr),))
+    fvols = np.full((T, dim), 1.0)
+    cols, p_cols = garch_day_columns(fvols, x, spec)
+    # full box: lower far below, upper far above -> integral = product of
+    # per-dim quadrature masses of the standard normal pdf over [-5, 5]
+    bounds = np.tile([-1e4, 1e4], (T, 1))
+    got = np.asarray(
+        garch_integrals_tcached(bounds, cols, p_cols, x, dx,
+                                np.full(dim, 1.0 / dim), spec)
+    )
+    from copula_var_tpu.ops.special import norm_pdf
+
+    pdfx = np.asarray(norm_pdf(jnp.asarray(x)))
+    mass1 = float(np.sum(pdfx * dx))
+    # inner dim: the dynamic lower bound clamps to box_min with a STRICT
+    # compare (`create_grids.py:108`), excluding the x == -5 grid point
+    # that the inclusive outer box keeps
+    mass_inner = float(np.sum((pdfx * dx)[np.asarray(x) > -5.0]))
+    np.testing.assert_allclose(got, mass1 ** (dim - 1) * mass_inner,
+                               rtol=1e-10)

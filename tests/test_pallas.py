@@ -159,3 +159,42 @@ def test_fused_bisection_solver_matches_host(rng):
     want = 0.5 * (lo + up)
     # f32 CDF error ~1e-6 relative moves the root by well under 1e-3
     np.testing.assert_allclose(root, want, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_pallas_lowering_on_tpu_hardware():
+    """Mosaic-lowering canary (VERDICT r02 #2): every shipped Pallas
+    kernel must COMPILE AND RUN on the real TPU whenever one is reachable.
+
+    The rest of the suite runs Pallas only in interpret mode on the forced
+    CPU backend (conftest), which is structurally blind to Mosaic lowering
+    regressions — exactly how the r02 day_block rewrite shipped broken.
+    This test strips the CPU pinning in a subprocess and executes
+    `bench.pallas_canary()` (tiny shapes, every kernel family) against the
+    session's default backend; skipped when no TPU is reachable."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; print(jax.devices()[0].platform)"],
+        env=env, capture_output=True, text=True, timeout=180, cwd=repo,
+    )
+    if probe.returncode != 0 or "tpu" not in probe.stdout:
+        pytest.skip(f"no TPU reachable ({probe.stdout.strip()[:80]})")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '.');"
+         "from bench import pallas_canary;"
+         "errs = pallas_canary();"
+         "print('canary errors:', errs);"
+         "sys.exit(1 if errs else 0)"],
+        env=env, capture_output=True, text=True, timeout=570, cwd=repo,
+    )
+    assert r.returncode == 0, (
+        f"Pallas lowering canary failed on TPU:\n{r.stdout}\n{r.stderr[-2000:]}"
+    )
