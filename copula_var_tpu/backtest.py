@@ -558,37 +558,42 @@ class VaRBacktest:
                 garch_integrals_cached,
                 msm_integrals_cached,
             )
+            from copula_var_tpu.parallel.multiprocess import fetch, put_global
             from copula_var_tpu.parallel.quadrature import pad_days
 
             mesh = self._get_mesh()
             d = NamedSharding(mesh, P("days"))
             n_dev = mesh.shape["days"]
             T = self.data.out_sample_n
-            tensors = jax.device_put(
+            tensors = put_global(
                 pad_days(
                     self.adapter.day_tensors(inputs, self.copula_spec), n_dev
                 ),
                 d,
             )
             self._cached_tensors = tensors
+            # sweeps return host-replicated numpy: their consumers are the
+            # host bracketing stages, and under a multi-process mesh the
+            # day-sharded output must be all-gathered before the eager
+            # [:T] de-pad anyway (fetch is a plain transfer single-process)
             if isinstance(inputs, MsmIntegrationInputs):
-                fcombos = jax.device_put(
-                    pad_days(inputs.forecast_combos, n_dev), d
+                fcombos = put_global(
+                    pad_days(jnp.asarray(inputs.forecast_combos), n_dev), d
                 )
 
                 def fn(bounds):
-                    b = jax.device_put(pad_days(jnp.asarray(bounds), n_dev), d)
-                    return msm_integrals_cached(
+                    b = put_global(pad_days(jnp.asarray(bounds), n_dev), d)
+                    return fetch(msm_integrals_cached(
                         b, tensors, fcombos, inputs.x, inputs.dx,
                         inputs.densities, weights, box_min,
-                    )[:T]
+                    ))[:T]
             else:
 
                 def fn(bounds):
-                    b = jax.device_put(pad_days(jnp.asarray(bounds), n_dev), d)
-                    return garch_integrals_cached(
+                    b = put_global(pad_days(jnp.asarray(bounds), n_dev), d)
+                    return fetch(garch_integrals_cached(
                         b, tensors, inputs.x, inputs.dx, weights, box_min
-                    )[:T]
+                    ))[:T]
         elif self.data.dim == 2 and hasattr(self.adapter, "day_tensors"):
             tensors = self.adapter.day_tensors(inputs, self.copula_spec)
             adapter = self.adapter

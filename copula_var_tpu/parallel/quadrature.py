@@ -234,25 +234,27 @@ def sharded_bisection_solve_levels(mesh: Mesh, day_tensors, fcombos,
     densities=None selects the GARCH/mean-reverting (q=1) family; else the
     MSM family with (dim, q, n) densities and (T, q^dim) fcombos.
     """
+    from copula_var_tpu.parallel.multiprocess import fetch, put_global
+
     d = NamedSharding(mesh, P("days"))
     ld = NamedSharding(mesh, P(None, "days"))
     n_dev = mesh.shape["days"]
     T = jnp.asarray(lower).shape[1]
-    tensors_s = jax.device_put(pad_days(day_tensors, n_dev), d)
+    tensors_s = put_global(pad_days(jnp.asarray(day_tensors), n_dev), d)
     is_msm = densities is not None
     if is_msm:
         densities = jnp.asarray(densities)
-        fcombos_s = jax.device_put(pad_days(fcombos, n_dev), d)
+        fcombos_s = put_global(pad_days(jnp.asarray(fcombos), n_dev), d)
     else:
         densities = jnp.zeros(())
         fcombos_s = jnp.zeros(())
 
     dt = jnp.zeros(()).dtype
     state0 = tuple(
-        jax.device_put(pad_days(jnp.asarray(a, dtype=dt), n_dev, axis=1), ld)
+        put_global(pad_days(jnp.asarray(a, dtype=dt), n_dev, axis=1), ld)
         for a in (lower, upper, prev_result, prev_upper)
     ) + (
-        jax.device_put(
+        put_global(
             pad_days(jnp.asarray(upper_stack, dtype=bool), n_dev, axis=1), ld
         ),
     )
@@ -263,6 +265,11 @@ def sharded_bisection_solve_levels(mesh: Mesh, day_tensors, fcombos,
         jnp.asarray(obj_vars, dtype=dt), jnp.asarray(tolerance, dtype=dt),
         jnp.asarray(box_min, dtype=dt), is_msm,
     )
+    if jax.process_count() > 1:
+        # cross-process: the padded day axis spans other processes'
+        # devices — one DCN all-gather replicates the roots to every
+        # host (an eager slice on the global array would be rejected)
+        return fetch(roots)[:, :T]
     return roots[:, :T]
 
 

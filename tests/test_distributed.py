@@ -84,8 +84,12 @@ _WORKER = textwrap.dedent(
         np.full(T, -7.5), np.full(T, 0.0), prev, entry_up,
         np.ones(T, dtype=bool), 0.05, 1e-6,
     )
-    local = {int(s.index[0].start if s.index[0].start else 0): np.asarray(s.data)
-             for s in roots.addressable_shards}
+    # cross-process the solver returns host-REPLICATED roots (one DCN
+    # all-gather inside, parallel/multiprocess.fetch): every process
+    # checks the full series
+    roots = np.asarray(roots)
+    assert roots.shape == (T,), roots.shape
+    local = {0: roots}
     # single-process reference bisection (host loop, same math)
     lo, up = np.full(T, -7.5), np.full(T, 0.0)
     pr, pu, us = prev.copy(), entry_up.copy(), np.ones(T, dtype=bool)
@@ -104,6 +108,34 @@ _WORKER = textwrap.dedent(
         assert np.allclose(vals, want[start:start + len(vals)], atol=1e-6), (
             start, vals, want)
     print("SOLVE_OK", flush=True)
+
+    # the FULL user-facing orchestrator across the 2-process mesh
+    # (VERDICT r02 #8): VaRBacktest(engine='sharded') with injected model/
+    # copula params, compared against an independent single-device
+    # engine='xla' solve in the same process. Exercises put_global /
+    # fetch (parallel/multiprocess.py) through every solver stage.
+    from copula_var_tpu.backtest import MsmAdapter, VaRBacktest
+    from copula_var_tpu.copulas.fit import StudentFit
+    from copula_var_tpu.data.returns import from_returns
+    from copula_var_tpu.models.fit import MsmFit
+    rng2 = np.random.default_rng(1)
+    N, T2 = 60, 6
+    rets = rng2.multivariate_normal(np.zeros(2), corr, size=N + T2)
+    data = from_returns(rets, ["A", "B"], N, np.array([0.5, 0.5]))
+    fits = [MsmFit(m_0=0.45, b=3.0, gamma=0.5, sigma=1.0, log_likelihood=0.0),
+            MsmFit(m_0=0.55, b=5.0, gamma=0.3, sigma=0.9, log_likelihood=0.0)]
+    cfit = StudentFit(6.0, corr, 0.0, np.array([6.0, 0.45]))
+    bt = VaRBacktest(data, MsmAdapter(k=2), "student", num_points=24,
+                     model_fits_override=fits, copula_fit_override=cfit,
+                     engine="sharded", mesh=mesh)
+    var_sharded = np.asarray(bt.calc_var(0.05))
+    bt_x = VaRBacktest(data, MsmAdapter(k=2), "student", num_points=24,
+                       model_fits_override=fits, copula_fit_override=cfit,
+                       engine="xla")
+    var_x = np.asarray(bt_x.calc_var(0.05))
+    assert var_sharded.shape == (T2,), var_sharded.shape
+    assert np.allclose(var_sharded, var_x, atol=1e-6), (var_sharded, var_x)
+    print("ORCH_OK", flush=True)
     """
 )
 
@@ -149,3 +181,4 @@ def test_two_process_distributed_psum(tmp_path):
         assert rc == 0, out
         assert "RESULT 4.0" in out, out
         assert "SOLVE_OK" in out, out
+        assert "ORCH_OK" in out, out
