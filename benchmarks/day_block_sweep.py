@@ -25,11 +25,14 @@ def main():
     ap.add_argument("--days", type=int, default=500)
     ap.add_argument("--points", type=int, default=100)
     ap.add_argument("--blocks", type=int, nargs="+",
-                    default=[1, 4, 8, 16, 32])
+                    default=[8, 16, 32, 64])
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
     import jax.numpy as jnp
+
+    from copula_var_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
 
     from copula_var_tpu.ops.grids import msm_grid
     from copula_var_tpu.ops.pallas_solver import msm_solve_pallas_levels

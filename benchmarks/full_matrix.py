@@ -44,6 +44,9 @@ def main():
 
     import jax
 
+    from copula_var_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
     from copula_var_tpu.backtest import create_var_backtest
     from copula_var_tpu.data import synthetic_dataset
 

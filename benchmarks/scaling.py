@@ -29,6 +29,9 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    from copula_var_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax.numpy as jnp
 
     from copula_var_tpu.ops.grids import msm_grid

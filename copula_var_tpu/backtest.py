@@ -420,7 +420,7 @@ class VaRBacktest:
     # engine='pallas': days solved per kernel program. The TPU grid is
     # sequential, so this is what vectorizes the per-iteration scalar
     # bookkeeping across days (`ops/pallas_solver.py`).
-    pallas_day_block: int = 8
+    pallas_day_block: int = 32
     # Device mesh for engine='sharded' (a jax.sharding.Mesh with a 'days'
     # axis). None -> a 1-D mesh over all visible devices, built lazily.
     mesh: Optional[object] = None
@@ -1097,7 +1097,7 @@ def create_var_backtest(
     box: tuple = (-5.0, 5.0),
     copula_fit_kwargs: Optional[dict] = None,
     engine: str = "xla",
-    pallas_day_block: int = 8,
+    pallas_day_block: int = 32,
     **adapter_kwargs,
 ) -> VaRBacktest:
     """3 models x 3 copulas factory (`factory.py:10-31`). Every pair maps

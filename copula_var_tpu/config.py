@@ -100,7 +100,7 @@ class BacktestConfig:
     engine: str = "xla"
     n_mesh_devices: Optional[int] = None  # engine='sharded': mesh size (None = all)
     # engine='pallas': days per kernel program (see VaRBacktest.pallas_day_block)
-    pallas_day_block: int = 8
+    pallas_day_block: int = 32
     weights: Optional[Sequence[float]] = None  # default equal weights
     msm: MsmConfig = field(default_factory=MsmConfig)
     garch: GarchConfig = field(default_factory=GarchConfig)

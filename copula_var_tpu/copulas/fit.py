@@ -98,7 +98,7 @@ def _student_stage1_device(marginals, nu_arr, log_density_sum, dim, n_par,
         def cont(carry):
             _, state = carry
             it = otu.tree_get(state, "count")
-            err = otu.tree_l2_norm(otu.tree_get(state, "grad"))
+            err = otu.tree_norm(otu.tree_get(state, "grad"))
             return (it == 0) | ((it < max_iter) & (err >= tol))
 
         s0 = jnp.full((n_par,), jnp.arctanh(0.5 / scale),

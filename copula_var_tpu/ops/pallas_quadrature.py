@@ -98,6 +98,131 @@ def masked_sandwich_integrals(bounds, day_tensors, w0, w1, fcombos, x,
     )[:, 0, 0]
 
 
+def _sweep_block_kernel(q, ns, scal_ref, x_ref, xow_ref, w1t_ref, wfc_ref,
+                        v_ref, repl_ref, replt_ref, out_ref):
+    # One program = a BLOCK of B days (the solver kernel's layout,
+    # `pallas_solver._solve_kernel`, for a single sweep): the per-day
+    # (n, n) tensors stream HBM -> VMEM exactly once and the mask +
+    # sandwich run in VMEM — no materialized masked operand, which is
+    # what caps the XLA path at ~1/3 of HBM peak (the select forces an
+    # extra vm write + matmul re-read).
+    x2 = x_ref[:, :]  # (1, n)
+    xow = xow_ref[:, :]  # (B*n, n)
+    v = v_ref[:, :]  # (B*n, n) day tensors, b-major rows
+    w1t = w1t_ref[:, :]  # (n, q)
+    wfc = wfc_ref[:, :]  # (B*n, q)
+    repl = repl_ref[:, :]  # (B*n, B)
+    replt = replt_ref[:, :]  # (B, B*n)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    col = lambda k: scal_ref[:, k * ns:k * ns + x2.shape[1]]
+    lower, upper = col(0), col(1)
+    win_f = dot(repl, col(2))
+    xwo = xow * dot(repl, col(3))
+    boxm_f = dot(repl, col(4))
+    dyn_up = (dot(repl, upper) - xwo) / win_f
+    dyn_lo = jnp.maximum((dot(repl, lower) - xwo) / win_f, boxm_f)
+    mask = (x2 > dyn_lo) & (x2 <= dyn_up)
+    vm = jnp.where(mask, v, 0.0)
+    a = dot(vm, w1t)  # (B*n, q)
+    out_ref[:, :] = dot(replt, a * wfc)  # (B, q) per-day per-state sums
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "box_min", "day_block")
+)
+def masked_sandwich_integrals_blocked(bounds, day_tensors, w0, w1, fcombos,
+                                      x, weights, *, interpret=False,
+                                      box_min=BOX_MIN, day_block=32):
+    """(T,) integrals, B days per kernel program (streaming-optimal).
+
+    Same contract as `masked_sandwich_integrals`; this variant amortizes
+    the per-program overhead that dominates the one-day-per-program
+    kernel (500 programs of ~40 KB each) and avoids the XLA engine's
+    materialized masked operand. Used by the sweep-bandwidth benchmark
+    and any caller doing single sweeps at full T.
+    """
+    from copula_var_tpu.ops.pallas_solver import _lane_round
+
+    f32 = jnp.float32
+    T, n, _ = day_tensors.shape
+    q = w0.shape[0]
+    # Mosaic: the day-block dim must be sublane-divisible -> B multiple
+    # of 8 (days are padded to a B multiple, so B > T is fine)
+    B = max(8, (day_block // 8) * 8)
+    pad = (-T) % B
+    padT = (
+        (lambda a: jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)]))
+        if pad else (lambda a: a)
+    )
+    Tp = T + pad
+    w0 = jnp.asarray(w0, f32)
+    w1 = jnp.asarray(w1, f32)
+    if q == 1:
+        # 1-lane matmuls hang the remote Mosaic backend: pad state axis
+        w0 = jnp.concatenate([w0, jnp.zeros_like(w0)], axis=0)
+        w1 = jnp.concatenate([w1, jnp.zeros_like(w1)], axis=0)
+        fcombos = jnp.pad(jnp.asarray(fcombos, f32).reshape(T, 1, 1),
+                          ((0, 0), (0, 1), (0, 1))).reshape(T, 4)
+        q = 2
+    fc3 = padT(jnp.asarray(fcombos, f32).reshape(T, q, q))
+    wfc = jnp.einsum("si,tsk->tik", w0, fc3).reshape(Tp * n, q)
+    v2 = padT(jnp.asarray(day_tensors, f32)).reshape(Tp * n, n)
+    xv = jnp.asarray(x, f32)
+    xow = jnp.broadcast_to(jnp.tile(xv, B).reshape(B * n, 1), (B * n, n))
+    repl = jnp.repeat(jnp.eye(B, dtype=f32), n, axis=0)
+    ns = _lane_round(n)
+    w_in = jnp.asarray(weights, f32)
+    scal = jnp.stack(
+        [
+            jnp.asarray(bounds, f32)[:, 0],
+            jnp.asarray(bounds, f32)[:, 1],
+            jnp.full((T,), w_in[0]),
+            jnp.full((T,), w_in[1]),
+            jnp.full((T,), box_min, dtype=f32),
+        ],
+        axis=1,
+    )  # (T, 5)
+    scal_wide = jnp.pad(
+        jnp.broadcast_to(padT(scal)[:, :, None], (Tp, 5, n)),
+        ((0, 0), (0, 0), (0, ns - n)),
+    ).reshape(Tp, 5 * ns)
+    kernel = functools.partial(_sweep_block_kernel, q, ns)
+    gp = pl.pallas_call(
+        kernel,
+        grid=(Tp // B,),
+        in_specs=[
+            pl.BlockSpec((B, 5 * ns), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * n, n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, q), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * n, q), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * n, n), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B * n, B), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, B * n), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, q), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, q), f32),
+        interpret=interpret,
+    )(
+        scal_wide,
+        xv.reshape(1, n),
+        xow,
+        w1.T,
+        wfc,
+        v2,
+        repl,
+        repl.T,
+    )
+    return jnp.sum(gp, axis=1)[:T]
+
+
 def msm_integrals_pallas(bounds, day_tensors, forecast_combos, x, dx,
                          densities, weights, *, interpret=False,
                          box_min=BOX_MIN):

@@ -157,17 +157,21 @@ def _solve_kernel(n_iters_per_level, n_levels, q, ns, scal_ref, x_ref,
 
 
 def _clamp_day_block(day_block, T, n, q, L, vmem_budget=10 * 2 ** 20):
-    """Largest B <= day_block whose resident VMEM footprint fits budget.
+    """Largest valid B <= day_block whose resident VMEM footprint fits.
 
-    Resident f32 blocks per program (x2 on the grid-indexed ones for
-    double buffering): scal (B, L*9*ns), xow/v2 (B*n, n), wfc (B*n, q),
+    B must be a MULTIPLE OF 8 (Mosaic requires the second-to-last block
+    dim be sublane-divisible unless it equals the array dim; the day
+    axis is padded to a B multiple anyway, so B=8 serves any T — the
+    B=1 per-day shape is not lowerable on this toolchain). Resident f32
+    blocks per program (x2 on the grid-indexed ones for double
+    buffering): scal (B, L*9*ns), xow/v2 (B*n, n), wfc (B*n, q),
     repl/replt (B*n, B) x2, out (B, L*n). Without this clamp a large
     (num_points, day_block) pair fails Mosaic allocation with an obscure
     error instead of degrading gracefully (ADVICE r02).
     """
     ns = _lane_round(n)
     qp = max(q, 2)
-    for B in range(max(1, min(day_block, T)), 0, -1):
+    for B in range(max(8, (day_block // 8) * 8), 8 - 1, -8):
         byt = 4 * (
             2 * (B * L * 9 * ns)        # scal (double-buffered)
             + B * n * n                 # xow
@@ -179,7 +183,7 @@ def _clamp_day_block(day_block, T, n, q, L, vmem_budget=10 * 2 ** 20):
         )
         if byt <= vmem_budget:
             return B
-    return 1
+    return 8
 
 
 @functools.partial(
@@ -188,7 +192,7 @@ def _clamp_day_block(day_block, T, n, q, L, vmem_budget=10 * 2 ** 20):
                      "day_block"),
 )
 def _solve(scal, x, w0, w1, fcombos, day_tensors, n_iters, n_levels, box_min,
-           interpret, day_block=8):
+           interpret, day_block=32):
     f32 = jnp.float32
     T, n, _ = day_tensors.shape
     q = w0.shape[0]
@@ -282,7 +286,7 @@ def bisection_solve_pallas_levels(day_tensors, w0, w1, fcombos, x, weights,
                                   lower, upper, prev_result, prev_upper,
                                   upper_stack, obj_vars, tolerance,
                                   box_min=-5.0, *, interpret=False,
-                                  day_block=8):
+                                  day_block=32):
     """(L, T) bisection roots for L confidence levels, ONE kernel launch.
 
     day_tensors (T, n, n); w0/w1 (q, n) state-weight rows (dx folded in);
@@ -347,7 +351,7 @@ def bisection_solve_pallas_levels(day_tensors, w0, w1, fcombos, x, weights,
 def bisection_solve_pallas(day_tensors, w0, w1, fcombos, x, weights,
                            lower, upper, prev_result, prev_upper,
                            upper_stack, obj_var, tolerance,
-                           box_min=-5.0, *, interpret=False, day_block=8):
+                           box_min=-5.0, *, interpret=False, day_block=32):
     """(T,) bisection roots, one fused kernel launch (single level)."""
     return bisection_solve_pallas_levels(
         day_tensors, w0, w1, fcombos, x, weights,
@@ -368,7 +372,7 @@ def _msm_w01(densities, dx):
 def msm_solve_pallas(day_tensors, forecast_combos, x, dx, densities, weights,
                      lower, upper, prev_result, prev_upper, upper_stack,
                      obj_var, tolerance, box_min=-5.0, *, interpret=False,
-                     day_block=8):
+                     day_block=32):
     """Fused solve, MSM family (single confidence level)."""
     w0, w1 = _msm_w01(densities, dx)
     return bisection_solve_pallas(
@@ -381,7 +385,7 @@ def msm_solve_pallas(day_tensors, forecast_combos, x, dx, densities, weights,
 def msm_solve_pallas_levels(day_tensors, forecast_combos, x, dx, densities,
                             weights, lower, upper, prev_result, prev_upper,
                             upper_stack, obj_vars, tolerance, box_min=-5.0,
-                            *, interpret=False, day_block=8):
+                            *, interpret=False, day_block=32):
     """Fused multi-level solve, MSM family: (L, T) roots in one launch."""
     w0, w1 = _msm_w01(densities, dx)
     return bisection_solve_pallas_levels(
@@ -394,7 +398,7 @@ def msm_solve_pallas_levels(day_tensors, forecast_combos, x, dx, densities,
 def garch_solve_pallas(day_tensors, x, dx, weights, lower, upper,
                        prev_result, prev_upper, upper_stack, obj_var,
                        tolerance, box_min=-5.0, *, interpret=False,
-                       day_block=8):
+                       day_block=32):
     """Fused solve, GARCH/mean-reverting family (q = 1)."""
     T = day_tensors.shape[0]
     dx_row = jnp.asarray(dx)[None, :]
@@ -409,7 +413,7 @@ def garch_solve_pallas(day_tensors, x, dx, weights, lower, upper,
 def garch_solve_pallas_levels(day_tensors, x, dx, weights, lower, upper,
                               prev_result, prev_upper, upper_stack,
                               obj_vars, tolerance, box_min=-5.0, *,
-                              interpret=False, day_block=8):
+                              interpret=False, day_block=32):
     """Fused multi-level solve, GARCH/mean-reverting family (q = 1)."""
     T = day_tensors.shape[0]
     dx_row = jnp.asarray(dx)[None, :]

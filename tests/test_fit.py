@@ -134,6 +134,7 @@ def test_fit_student_nu_refines_in_global_bracket(rng):
     np.testing.assert_allclose(res.corr_matrix[0, 1], rho, atol=0.12)
 
 
+@pytest.mark.slow
 def test_fit_student_dim3_device_stage1(rng):
     """dim >= 3 stage 1 is ONE device dispatch (vmapped L-BFGS over the nu
     grid, `copulas/fit._student_stage1_device`) replacing the reference's

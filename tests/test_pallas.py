@@ -198,3 +198,59 @@ def test_pallas_lowering_on_tpu_hardware():
     assert r.returncode == 0, (
         f"Pallas lowering canary failed on TPU:\n{r.stdout}\n{r.stderr[-2000:]}"
     )
+
+
+def test_blocked_sweep_matches_cached(rng):
+    """masked_sandwich_integrals_blocked (B days/program) == the f64
+    cached XLA path, MSM family, incl. a T not divisible by day_block."""
+    from copula_var_tpu.ops.pallas_quadrature import (
+        masked_sandwich_integrals_blocked,
+    )
+
+    n, q, T = 32, 3, 11
+    x, dx = msm_grid(n)
+    uvols = np.sort(rng.uniform(0.5, 1.5, size=(2, q)), axis=1)
+    dens = np.exp(-0.5 * (x[None, None, :] / uvols[:, :, None]) ** 2) / (
+        np.sqrt(2 * np.pi) * uvols[:, :, None]
+    )
+    fbs = rng.uniform(0.1, 1.0, size=(T, 2, q))
+    fbs /= fbs.sum(axis=2, keepdims=True)
+    fcombos = np.einsum("ti,tj->tij", fbs[:, 0], fbs[:, 1]).reshape(T, -1)
+    spec = CopulaSpec("gaussian", (jnp.asarray(CORR),))
+    C = msm_day_tensors(fbs, x, uvols, spec)
+    bounds = np.stack([BOUNDS[i % len(BOUNDS)] for i in range(T)])
+    want = np.asarray(
+        msm_integrals_cached(bounds, C, fcombos, x, dx, dens, WEIGHTS)
+    )
+    w0 = dens[1] * dx[None, :]
+    w1 = dens[0] * dx[None, :]
+    got = np.asarray(
+        masked_sandwich_integrals_blocked(
+            bounds, jnp.asarray(C, jnp.float32), w0, w1, fcombos, x,
+            WEIGHTS, interpret=True, day_block=4,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-7)
+
+
+def test_blocked_sweep_q1_matches_cached(rng):
+    """Blocked sweep, GARCH family (q = 1 lane-padded path)."""
+    from copula_var_tpu.ops.pallas_quadrature import (
+        masked_sandwich_integrals_blocked,
+    )
+
+    n, T = 32, 6
+    x, dx = garch_grid(n)
+    fv = rng.uniform(0.7, 1.4, size=(T, 2))
+    spec = CopulaSpec("gaussian", (jnp.asarray(CORR),))
+    V = garch_day_tensors(fv, x, spec)
+    bounds = np.stack([BOUNDS[i % len(BOUNDS)] for i in range(T)])
+    want = np.asarray(garch_integrals_cached(bounds, V, x, dx, WEIGHTS))
+    dxr = np.asarray(dx)[None, :]
+    got = np.asarray(
+        masked_sandwich_integrals_blocked(
+            bounds, jnp.asarray(V, jnp.float32), dxr, dxr,
+            np.ones((T, 1)), x, WEIGHTS, interpret=True, day_block=4,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-7)
