@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-K_LO, K_HI = 8, 72
+K_LO, K_HI = 8, 40
 
 
 def main():

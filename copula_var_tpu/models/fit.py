@@ -503,10 +503,12 @@ def fit_msm(
     cur_nll = np.array(nll_d)
 
     # Gradient polish (TPU-native addition): the MSM likelihood is smooth in
-    # (m_0, b, gamma), so finish the top starts with L-BFGS-B on exact JAX
+    # (m_0, b, gamma), so finish the top starts with L-BFGS on exact JAX
     # gradients — the reference's pure random search stops ~100+ LL points
-    # short of the optimum at basin_iter=100.
-    from scipy.optimize import minimize as _sp_minimize
+    # short of the optimum at basin_iter=100. All polished starts run
+    # lockstep as ONE device dispatch (`ops/lbfgs.box_lbfgs_batch`; the
+    # round-2 scipy loop paid a tunnel round trip per evaluation).
+    from copula_var_tpu.ops.lbfgs import box_lbfgs_batch
 
     def _single_nll(p):
         m0, b, gm = p[0], p[1], p[2]
@@ -516,24 +518,17 @@ def fit_msm(
         reg = gamma_weight * n * (gm - 0.5) ** 2 + b_weight * n * (1.0 / b) ** 2
         return -ll + reg
 
-    vag = jax.jit(jax.value_and_grad(_single_nll))
-
-    def _sp_fun(xv):
-        v, gr = vag(jnp.asarray(xv))
-        v = float(v)
-        if not np.isfinite(v):
-            return 1e10, np.zeros(3)
-        return v, np.nan_to_num(np.asarray(gr, dtype=float))
-
     order = np.argsort(cur_nll)[:3]
-    for i in order:
-        res = _sp_minimize(
-            _sp_fun, x0=cur[i], jac=True, method="L-BFGS-B",
-            bounds=[tuple(b) for b in bounds],
-        )
-        if res.fun < cur_nll[i]:
-            cur[i] = res.x
-            cur_nll[i] = res.fun
+    bounds_arr = np.asarray(bounds, dtype=float)
+    xs, fs = box_lbfgs_batch(
+        _single_nll, bounds_arr[:, 0], bounds_arr[:, 1],
+        jnp.asarray(cur[order]),
+    )
+    xs, fs = np.asarray(xs), np.asarray(fs)
+    for j, i in enumerate(order):
+        if fs[j] < cur_nll[i]:
+            cur[i] = xs[j]
+            cur_nll[i] = fs[j]
 
     # final true log-likelihood (no regularization), best start by MAX LL
     # (the reference's min-selection at `opti.py:125-128` is a defect)
