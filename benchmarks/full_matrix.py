@@ -61,12 +61,19 @@ def main():
     t_all = time.time()
     for model in MODELS:
         kw = {"k": 4} if model == "msm" else {}
+        # model fits are shared across the model's three copula rows —
+        # the reference's per-family shared caches do exactly this
+        # (`utils/calc_var_ABC.py:4-22`: fits keyed by ticker, reused by
+        # every copula wrapper over the same model); copula fits and
+        # integration inputs stay per-combination.
+        fits = None
         for copula in COPULAS:
             t0 = time.time()
             bt = create_var_backtest(
                 data, model, copula, num_points=args.points,
-                engine=args.engine, **kw,
+                engine=args.engine, model_fits_override=fits, **kw,
             )
+            fits = bt.model_fits
             t_prep = time.time() - t0
             t0 = time.time()
             var = bt.calc_var(obj_var=0.05)

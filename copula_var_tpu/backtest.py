@@ -1098,11 +1098,18 @@ def create_var_backtest(
     copula_fit_kwargs: Optional[dict] = None,
     engine: str = "xla",
     pallas_day_block: int = 32,
+    model_fits_override: Optional[list] = None,
+    copula_fit_override: Optional[object] = None,
     **adapter_kwargs,
 ) -> VaRBacktest:
     """3 models x 3 copulas factory (`factory.py:10-31`). Every pair maps
     to its own combination — the reference's gaussian + mean_reverting ->
-    Plackett mismap (`factory.py:22-23`) is fixed, not reproduced."""
+    Plackett mismap (`factory.py:22-23`) is fixed, not reproduced.
+
+    model_fits_override / copula_fit_override inject pre-fitted params
+    (the explicit analog of the reference's shared caches,
+    `calc_var_ABC.py:4-22` — e.g. reuse one model family's fits across
+    its three copula combinations, or resume from saved artifacts)."""
     if estimation_type not in _ADAPTERS:
         raise ValueError(f"Unsupported estimation type: {estimation_type}")
     if copula_type not in _COPULA_FITTERS:
@@ -1110,4 +1117,6 @@ def create_var_backtest(
     adapter = _ADAPTERS[estimation_type](**adapter_kwargs)
     return VaRBacktest(data, adapter, copula_type, num_points=num_points,
                        box=box, copula_fit_kwargs=copula_fit_kwargs,
-                       engine=engine, pallas_day_block=pallas_day_block)
+                       engine=engine, pallas_day_block=pallas_day_block,
+                       model_fits_override=model_fits_override,
+                       copula_fit_override=copula_fit_override)

@@ -255,12 +255,12 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
     hi_nu = nu_grid[i_best + 1] if i_best < len(nu_grid) - 1 else float(
         nu_bounds[1]
     )
-    # 40 contractions bracket nu to ~2e-7 x span — far beyond the
-    # statistical resolution of the profile (the reference's scipy
-    # stage-2 stops at ~1e-5); each iteration costs a full t_ppf sweep,
-    # so stage 2 is the one place the iteration budget is trimmed.
+    # 28 contractions bracket nu to ~1.4e-6 x span (~1e-5 nu units) —
+    # matching the reference's scipy stage-2 resolution (~1e-5); each
+    # iteration costs a full t_ppf sweep, so stage 2 is the one place
+    # the iteration budget is trimmed.
     nu_star, _ = golden_section_min(
-        f_nu, jnp.array([lo_nu]), jnp.array([hi_nu]), iters=40,
+        f_nu, jnp.array([lo_nu]), jnp.array([hi_nu]), iters=28,
     )
     nu_opt = float(np.asarray(nu_star)[0])
     corr = np.eye(dim)

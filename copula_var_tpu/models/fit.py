@@ -399,6 +399,23 @@ def estimate_sigma(sample_variance, m_0, k):
     return np.sqrt(sample_variance) / factor
 
 
+@functools.lru_cache(maxsize=None)
+def _msm_polish_loss(k: int):
+    """Stable-identity penalized MSM NLL for the batched L-BFGS polish
+    (one compiled program per k across all asset fits; a per-call closure
+    would re-trace and re-compile every fit)."""
+
+    def loss(p, r, sample_var, gamma_weight, b_weight, n):
+        m0, b, gm = p[0], p[1], p[2]
+        factor = (m0**2 - 2 * m0 + 2) ** (k / 2)
+        sigma = jnp.sqrt(sample_var) / factor
+        ll = msm_mod.log_likelihood(k, m0, sigma, b, gm, r)
+        reg = gamma_weight * n * (gm - 0.5) ** 2 + b_weight * n * (1.0 / b) ** 2
+        return -ll + reg
+
+    return loss
+
+
 def fit_msm(
     returns,
     k: int,
@@ -507,22 +524,18 @@ def fit_msm(
     # gradients — the reference's pure random search stops ~100+ LL points
     # short of the optimum at basin_iter=100. All polished starts run
     # lockstep as ONE device dispatch (`ops/lbfgs.box_lbfgs_batch`; the
-    # round-2 scipy loop paid a tunnel round trip per evaluation).
+    # round-2 scipy loop paid a tunnel round trip per evaluation). The
+    # loss has a stable identity per k (`_msm_polish_loss`) so the
+    # program compiles once per k, not once per asset fit.
     from copula_var_tpu.ops.lbfgs import box_lbfgs_batch
-
-    def _single_nll(p):
-        m0, b, gm = p[0], p[1], p[2]
-        factor = (m0**2 - 2 * m0 + 2) ** (k / 2)
-        sigma = jnp.sqrt(sample_var) / factor
-        ll = msm_mod.log_likelihood(k, m0, sigma, b, gm, r_dev)
-        reg = gamma_weight * n * (gm - 0.5) ** 2 + b_weight * n * (1.0 / b) ** 2
-        return -ll + reg
 
     order = np.argsort(cur_nll)[:3]
     bounds_arr = np.asarray(bounds, dtype=float)
     xs, fs = box_lbfgs_batch(
-        _single_nll, bounds_arr[:, 0], bounds_arr[:, 1],
-        jnp.asarray(cur[order]),
+        _msm_polish_loss(k), bounds_arr[:, 0], bounds_arr[:, 1],
+        jnp.asarray(cur[order]), r_dev, jnp.asarray(sample_var),
+        jnp.asarray(float(gamma_weight)), jnp.asarray(float(b_weight)),
+        jnp.asarray(float(n)),
     )
     xs, fs = np.asarray(xs), np.asarray(fs)
     for j, i in enumerate(order):

@@ -34,12 +34,14 @@ def _from_box(x, lo, hi, margin=1e-6):
 
 
 @functools.partial(jax.jit, static_argnames=("loss_fn", "max_iter"))
-def box_lbfgs_batch(loss_fn, lo, hi, x0, max_iter=200, tol=1e-8):
-    """Minimize `loss_fn(x)` (x (d,) -> scalar) from each row of x0
-    (B, d) subject to lo < x < hi. Returns (x_star (B, d), f_star (B,)).
+def box_lbfgs_batch(loss_fn, lo, hi, x0, *args, max_iter=200, tol=1e-8):
+    """Minimize `loss_fn(x, *args)` (x (d,) -> scalar) from each row of
+    x0 (B, d) subject to lo < x < hi. Returns (x_star (B, d), f_star (B,)).
 
     One dispatch for the whole batch; each solve is an optax L-BFGS
-    while_loop, vmapped over B.
+    while_loop, vmapped over B. `loss_fn` is a STATIC jit key — pass a
+    module-level (stable-identity) function and thread data through
+    `*args` (dynamic), or every call re-traces and re-compiles.
     """
     import optax
     import optax.tree_utils as otu
@@ -48,7 +50,7 @@ def box_lbfgs_batch(loss_fn, lo, hi, x0, max_iter=200, tol=1e-8):
     hi = jnp.asarray(hi, dtype=x0.dtype)
 
     def wrapped(s):
-        v = loss_fn(_to_box(s, lo, hi))
+        v = loss_fn(_to_box(s, lo, hi), *args)
         return jnp.where(jnp.isfinite(v), v, PENALTY)
 
     def solve_one(x0_row):
