@@ -51,6 +51,112 @@ class PlackettFit(NamedTuple):
     packed_params: np.ndarray  # [theta]
 
 
+# --------------------------------------------------------------------------
+# Stable-identity device programs (lru-cached factories)
+#
+# Every program below is traced once per data SHAPE per process: a
+# per-fit-call closure would give jax a fresh function identity each
+# time, re-tracing (seconds of host work) and re-looking-up the XLA
+# cache for every asset/combination — measured as the dominant prep cost
+# in the BASELINE 3x3 matrix run.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _student_dim2_stage1_program():
+    """Stage 1, dim 2: ALL nu-grid rho-profiles in one lockstep
+    golden-section scan (transforms precomputed in one vmapped t_ppf
+    sweep inside the same program)."""
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(nu_arr, marginals, log_density_sum, iters=90):
+        B = nu_arr.shape[0]
+        z_b, fin_b, lus_b = jax.vmap(
+            lambda nu: student.precompute_transform(marginals, nu)
+        )(nu_arr)
+
+        def f_rho(rho):  # (m*B,) -> (m*B,): golden probes come in pairs
+            m = rho.shape[0] // B
+            tile = lambda a: jnp.concatenate([a] * m, axis=0) if m > 1 else a
+            return jax.vmap(
+                lambda r, z, fi, lu, nu:
+                student.negative_log_likelihood_from_transform(
+                    r[None], z, fi, lu, nu, log_density_sum, 2
+                )
+            )(rho, tile(z_b), tile(fin_b), tile(lus_b), tile(nu_arr))
+
+        return golden_section_min(
+            f_rho, jnp.full(B, -0.99), jnp.full(B, 0.99), iters
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _student_stage2_program(dim: int):
+    """Stage 2: nu profile refinement on a fixed correlation, one
+    golden-section scan (each iteration costs a t_ppf sweep)."""
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(corr_params, lo_nu, hi_nu, marginals, densities, iters=28):
+        def f_nu(nu_batch):
+            return jax.vmap(
+                lambda nu: student.negative_log_likelihood_fixed_nu(
+                    corr_params, nu, marginals, densities, dim
+                )
+            )(nu_batch)
+
+        return golden_section_min(f_nu, lo_nu, hi_nu, iters)
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _student_nll_program(dim: int):
+    return jax.jit(
+        lambda p, m, d: student.negative_log_likelihood(p, m, d, dim)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_dim2_program():
+    """Gaussian dim 2: the whole fit is ONE golden-section scan in rho."""
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(marginals, densities, iters=90):
+        def f(rho):
+            return jax.vmap(
+                lambda r: gaussian.negative_log_likelihood(
+                    r[None], marginals, densities, 2
+                )
+            )(rho)
+
+        return golden_section_min(
+            f, jnp.array([-0.99]), jnp.array([0.99]), iters
+        )
+
+    return run
+
+
+@functools.lru_cache(maxsize=None)
+def _plackett_program():
+    """Plackett: multi-start theta profile as one lockstep scan over the
+    log-theta sub-brackets."""
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def run(marginals, densities, lo_edges, hi_edges, iters=90):
+        def f_theta(theta):
+            return jax.vmap(
+                lambda t: plackett.negative_log_likelihood(
+                    t, marginals, densities
+                )
+            )(theta)
+
+        return golden_section_min(f_theta, lo_edges, hi_edges, iters)
+
+    return run
+
+
 @functools.partial(jax.jit, static_argnames=("dim", "n_par", "max_iter"))
 def _student_stage1_device(marginals, nu_arr, log_density_sum, dim, n_par,
                            max_iter=200, tol=1e-8):
@@ -131,14 +237,7 @@ def fit_gaussian(marginals, densities, tol=1e-9, max_iter=5000) -> GaussianFit:
     if dim == 2:
         # 1-D in rho: the whole solve is ONE on-device golden-section scan
         # (host L-BFGS costs a transport round trip per evaluation)
-        def f(rho):
-            return jax.vmap(
-                lambda r: gaussian.negative_log_likelihood(
-                    r[None], marginals, densities, dim
-                )
-            )(rho)
-
-        x, nll_v = golden_section_min(f, jnp.array([-0.99]), jnp.array([0.99]))
+        x, nll_v = _gaussian_dim2_program()(marginals, densities)
         x = np.asarray(x)
         nll = float(np.asarray(nll_v)[0])
     else:
@@ -177,9 +276,7 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
     if nu_values is None:
         nu_values = NU_GRID
 
-    nll_full = jax.jit(
-        lambda p: student.negative_log_likelihood(p, marginals, densities, dim)
-    )
+    nll_full = _student_nll_program(dim)
 
     # Stage 1: correlations per fixed nu. The ppf transform and univariate
     # log-pdf sum are constant within each nu's L-BFGS solve — precomputed
@@ -190,26 +287,10 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
     if dim == 2:
         # 1-D in rho per nu: ALL nu-grid profiles run lockstep in ONE
         # on-device golden-section scan (the transforms for every nu are
-        # precomputed in one vmapped t_ppf sweep)
+        # precomputed in one vmapped t_ppf sweep, inside the same program)
         nu_arr = jnp.asarray(np.asarray(nu_values, dtype=float))
-        z_b, fin_b, lus_b = jax.vmap(
-            lambda nu: student.precompute_transform(marginals, nu)
-        )(nu_arr)
-
-        B = len(np.asarray(nu_values))
-
-        def f_rho(rho):  # (m*B,) -> (m*B,): golden_section_min probes in
-            # pairs, so the companion per-nu transforms tile to match
-            m = rho.shape[0] // B
-            tile = lambda a: jnp.concatenate([a] * m, axis=0) if m > 1 else a
-            return jax.vmap(
-                lambda r, z, fi, lu, nu:
-                student.negative_log_likelihood_from_transform(
-                    r[None], z, fi, lu, nu, log_density_sum, dim
-                )
-            )(rho, tile(z_b), tile(fin_b), tile(lus_b), tile(nu_arr))
-        rho_star, nll_star = golden_section_min(
-            f_rho, jnp.full(B, -0.99), jnp.full(B, 0.99)
+        rho_star, nll_star = _student_dim2_stage1_program()(
+            nu_arr, marginals, jnp.asarray(log_density_sum)
         )
         nll_star = np.asarray(nll_star)
         i = int(np.argmin(nll_star))
@@ -240,14 +321,6 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
     # winning grid point's neighbor cell — globally located, and a
     # smaller span than the full [2.01, 50] sweep.
     corr_fixed = jnp.asarray(best_corr_params)
-
-    def f_nu(nu_batch):  # (k,) -> (k,)
-        return jax.vmap(
-            lambda nu: student.negative_log_likelihood_fixed_nu(
-                corr_fixed, nu, marginals, densities, dim
-            )
-        )(nu_batch)
-
     nu_grid = np.asarray(nu_values, dtype=float)
     i_best = int(np.argmin(np.where(np.isfinite(stage1_nlls), stage1_nlls,
                                     np.inf)))
@@ -259,15 +332,19 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
     # matching the reference's scipy stage-2 resolution (~1e-5); each
     # iteration costs a full t_ppf sweep, so stage 2 is the one place
     # the iteration budget is trimmed.
-    nu_star, _ = golden_section_min(
-        f_nu, jnp.array([lo_nu]), jnp.array([hi_nu]), iters=28,
+    nu_star, _ = _student_stage2_program(dim)(
+        corr_fixed, jnp.array([lo_nu]), jnp.array([hi_nu]), marginals,
+        densities,
     )
     nu_opt = float(np.asarray(nu_star)[0])
     corr = np.eye(dim)
     iu = np.tril_indices(dim, k=-1)
     corr[iu] = best_corr_params
     corr[(iu[1], iu[0])] = best_corr_params
-    final_nll = float(nll_full(jnp.asarray(np.concatenate(([nu_opt], best_corr_params)))))
+    final_nll = float(nll_full(
+        jnp.asarray(np.concatenate(([nu_opt], best_corr_params))),
+        marginals, densities,
+    ))
     packed = np.concatenate(([nu_opt], corr[np.triu_indices(dim, k=1)]))
     return StudentFit(nu_opt, corr, final_nll, packed)
 
@@ -286,13 +363,8 @@ def fit_plackett(marginals, densities, theta_range=None, tol=1e-9, max_iter=5000
     B = max(len(np.asarray(theta_range)), 2)
     edges = np.exp(np.linspace(np.log(0.1), np.log(1e4), B + 1))
 
-    def f_theta(theta):  # (B,) -> (B,)
-        return jax.vmap(
-            lambda t: plackett.negative_log_likelihood(t, marginals, densities)
-        )(theta)
-
-    th, nll_v = golden_section_min(
-        f_theta, jnp.asarray(edges[:-1]), jnp.asarray(edges[1:])
+    th, nll_v = _plackett_program()(
+        marginals, densities, jnp.asarray(edges[:-1]), jnp.asarray(edges[1:])
     )
     nll_v = np.asarray(nll_v)
     i = int(np.argmin(nll_v))

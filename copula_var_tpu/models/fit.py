@@ -400,6 +400,89 @@ def estimate_sigma(sample_variance, m_0, k):
 
 
 @functools.lru_cache(maxsize=None)
+def _msm_basin_program(k: int):
+    """Stable-identity MSM basin-hopping device program + batched NLL.
+
+    The ENTIRE basin-hopping loop runs as ONE device program (a host
+    loop costs a transport round trip per hop over a remote TPU); lru
+    caching by k gives the jit a stable function identity, so the
+    program traces/compiles once per (k, data-shape) per process instead
+    of once per asset fit. The perturbation stream uses jax.random;
+    stochastic trajectories are not host-reproducible, parity is at the
+    likelihood-kernel level (`opti.py:58-105` semantics: Gaussian
+    perturbation, x0.9/x1.1 step adaptation, patience 10, near-bound
+    re-initialization).
+    """
+
+    @jax.jit
+    def batch_nll(params, r, sample_var, gamma_weight, b_weight, n):
+        # params (S, 3) = [m_0, b, gamma]
+        m0, b, gm = params[:, 0], params[:, 1], params[:, 2]
+        factor = (m0**2 - 2 * m0 + 2) ** (k / 2)
+        sigma = jnp.sqrt(sample_var) / factor
+        ll = msm_mod.log_likelihood_batch(k, m0, sigma, b, gm, r)
+        reg = gamma_weight * n * (gm - 0.5) ** 2 + b_weight * n * (1.0 / b) ** 2
+        return -ll + reg
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def basin_device(cur, lo_d, hi_d, step0, key, r, sample_var,
+                     gamma_weight, b_weight, n, iters):
+        patience = 10
+        span = hi_d - lo_d
+        nll = lambda p: batch_nll(p, r, sample_var, gamma_weight, b_weight, n)
+
+        def body(_, c):
+            cur, cur_nll, steps, stall, key = c
+            key, k1, k2 = jax.random.split(key, 3)
+            noise = jax.random.normal(k1, cur.shape, dtype=cur.dtype)
+            prop = jnp.clip(
+                cur + noise * steps[:, None] * span[None, :], lo_d, hi_d
+            )
+            prop_nll = nll(prop)
+            better = prop_nll < cur_nll
+            cur = jnp.where(better[:, None], prop, cur)
+            cur_nll = jnp.where(better, prop_nll, cur_nll)
+            steps = jnp.where(better, steps * 0.9, steps)
+            stall = jnp.where(better, 0, stall + 1)
+            hit = stall >= patience
+
+            def on_hit(cur, cur_nll, steps, stall):
+                steps = jnp.where(hit, steps * 1.1, steps)
+                stall = jnp.where(hit, 0, stall)
+                # reinit params near a bound (`opti.py:29-36`)
+                near = (cur <= lo_d + 0.01 * span) | (cur >= hi_d - 0.01 * span)
+                near &= hit[:, None]
+                fresh = jax.random.uniform(
+                    k2, cur.shape, dtype=cur.dtype,
+                    minval=lo_d + 0.1 * span, maxval=hi_d - 0.1 * span,
+                )
+                cur_n = jnp.where(near, fresh, cur)
+                changed = jnp.any(near, axis=1)
+                nll_n = jnp.where(changed, nll(cur_n), cur_nll)
+                return cur_n, nll_n, steps, stall
+
+            cur, cur_nll, steps, stall = jax.lax.cond(
+                jnp.any(hit),
+                on_hit,
+                lambda cur, cur_nll, steps, stall: (cur, cur_nll, steps, stall),
+                cur, cur_nll, steps, stall,
+            )
+            return cur, cur_nll, steps, stall, key
+
+        init = (
+            cur,
+            nll(cur),
+            jnp.full((cur.shape[0],), step0, dtype=cur.dtype),
+            jnp.zeros((cur.shape[0],), dtype=jnp.int32),
+            key,
+        )
+        cur, cur_nll, _, _, _ = jax.lax.fori_loop(0, iters, body, init)
+        return cur, cur_nll
+
+    return basin_device, batch_nll
+
+
+@functools.lru_cache(maxsize=None)
 def _msm_polish_loss(k: int):
     """Stable-identity penalized MSM NLL for the batched L-BFGS polish
     (one compiled program per k across all asset fits; a per-call closure
@@ -442,79 +525,22 @@ def fit_msm(
     n = len(returns)
     r_dev = jnp.asarray(returns)
 
-    @jax.jit
-    def batch_nll(params):  # params (S, 3) = [m_0, b, gamma]
-        m0, b, gm = params[:, 0], params[:, 1], params[:, 2]
-        factor = (m0**2 - 2 * m0 + 2) ** (k / 2)
-        sigma = jnp.sqrt(sample_var) / factor
-        ll = msm_mod.log_likelihood_batch(k, m0, sigma, b, gm, r_dev)
-        reg = gamma_weight * n * (gm - 0.5) ** 2 + b_weight * n * (1.0 / b) ** 2
-        return -ll + reg
+    basin_device, batch_nll_fn = _msm_basin_program(k)
+    reg_args = (r_dev, jnp.asarray(sample_var),
+                jnp.asarray(float(gamma_weight)),
+                jnp.asarray(float(b_weight)), jnp.asarray(float(n)))
+
+    def batch_nll(params):
+        return batch_nll_fn(params, *reg_args)
 
     lo, hi = bounds[:, 0], bounds[:, 1]
     cur0 = np.tile(np.array([0.5, 10.0, 0.5]), (n_starts, 1))
     cur0[:, 1] = b_values
 
-    # The entire basin-hopping loop runs as ONE device program (the host
-    # version costs a transport round trip per hop over a remote TPU).
-    # The perturbation stream uses jax.random; stochastic trajectories are
-    # not host-reproducible, parity is at the likelihood-kernel level.
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def basin_device(cur, lo_d, hi_d, step0, key, iters):
-        patience = 10
-        span = hi_d - lo_d
-
-        def body(_, c):
-            cur, cur_nll, steps, stall, key = c
-            key, k1, k2 = jax.random.split(key, 3)
-            noise = jax.random.normal(k1, cur.shape, dtype=cur.dtype)
-            prop = jnp.clip(
-                cur + noise * steps[:, None] * span[None, :], lo_d, hi_d
-            )
-            prop_nll = batch_nll(prop)
-            better = prop_nll < cur_nll
-            cur = jnp.where(better[:, None], prop, cur)
-            cur_nll = jnp.where(better, prop_nll, cur_nll)
-            steps = jnp.where(better, steps * 0.9, steps)
-            stall = jnp.where(better, 0, stall + 1)
-            hit = stall >= patience
-
-            def on_hit(cur, cur_nll, steps, stall):
-                steps = jnp.where(hit, steps * 1.1, steps)
-                stall = jnp.where(hit, 0, stall)
-                # reinit params near a bound (`opti.py:29-36`)
-                near = (cur <= lo_d + 0.01 * span) | (cur >= hi_d - 0.01 * span)
-                near &= hit[:, None]
-                fresh = jax.random.uniform(
-                    k2, cur.shape, dtype=cur.dtype,
-                    minval=lo_d + 0.1 * span, maxval=hi_d - 0.1 * span,
-                )
-                cur_n = jnp.where(near, fresh, cur)
-                changed = jnp.any(near, axis=1)
-                nll_n = jnp.where(changed, batch_nll(cur_n), cur_nll)
-                return cur_n, nll_n, steps, stall
-
-            cur, cur_nll, steps, stall = jax.lax.cond(
-                jnp.any(hit),
-                on_hit,
-                lambda cur, cur_nll, steps, stall: (cur, cur_nll, steps, stall),
-                cur, cur_nll, steps, stall,
-            )
-            return cur, cur_nll, steps, stall, key
-
-        init = (
-            cur,
-            batch_nll(cur),
-            jnp.full((cur.shape[0],), step0, dtype=cur.dtype),
-            jnp.zeros((cur.shape[0],), dtype=jnp.int32),
-            key,
-        )
-        cur, cur_nll, _, _, _ = jax.lax.fori_loop(0, iters, body, init)
-        return cur, cur_nll
-
     cur_d, nll_d = basin_device(
-        jnp.asarray(cur0), jnp.asarray(lo), jnp.asarray(hi), step_size,
-        jax.random.PRNGKey(seed), iters=basin_iter,
+        jnp.asarray(cur0), jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(float(step_size)), jax.random.PRNGKey(seed), *reg_args,
+        iters=basin_iter,
     )
     cur = np.array(cur_d)  # writable copies (polish below mutates rows)
     cur_nll = np.array(nll_d)
