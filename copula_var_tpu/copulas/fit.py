@@ -182,6 +182,9 @@ def _student_stage1_device(marginals, nu_arr, log_density_sum, dim, n_par,
         lambda nu: student.precompute_transform(marginals, nu)
     )(nu_arr)
     scale = 0.99
+    # value-stall stop: see ops/lbfgs.py — a pure gradient criterion
+    # never fires under f32 and burns max_iter x linesearch evals
+    eps = jnp.finfo(marginals.dtype).eps
 
     def solve_one(z, fin, lus, nu):
         def loss(s):
@@ -194,22 +197,32 @@ def _student_stage1_device(marginals, nu_arr, log_density_sum, dim, n_par,
         vg = optax.value_and_grad_from_state(loss)
 
         def step(carry):
-            s, state = carry
+            s, state, f_prev, stall = carry
             value, grad = vg(s, state=state)
             updates, state = opt.update(
                 grad, state, s, value=value, grad=grad, value_fn=loss
             )
-            return optax.apply_updates(s, updates), state
+            stall = jnp.where(
+                jnp.abs(value - f_prev)
+                <= 10.0 * eps * jnp.maximum(1.0, jnp.abs(value)),
+                stall + 1,
+                0,
+            )
+            return optax.apply_updates(s, updates), state, value, stall
 
         def cont(carry):
-            _, state = carry
+            _, state, _, stall = carry
             it = otu.tree_get(state, "count")
             err = otu.tree_norm(otu.tree_get(state, "grad"))
-            return (it == 0) | ((it < max_iter) & (err >= tol))
+            return (it == 0) | ((it < max_iter) & (err >= tol) & (stall < 3))
 
         s0 = jnp.full((n_par,), jnp.arctanh(0.5 / scale),
                       dtype=marginals.dtype)
-        s_fin, _ = jax.lax.while_loop(cont, step, (s0, opt.init(s0)))
+        s_fin, _, _, _ = jax.lax.while_loop(
+            cont, step,
+            (s0, opt.init(s0), jnp.asarray(jnp.inf, dtype=marginals.dtype),
+             jnp.asarray(0, dtype=jnp.int32)),
+        )
         rho = scale * jnp.tanh(s_fin)
         return rho, loss(s_fin)
 
