@@ -732,10 +732,33 @@ def _ukf_em_device(returns, a0, l0, q0, tol, perturb_scale, key, max_iter,
         params_n = jnp.where(stuck, p_pert, p_em)
         return params_n, bl, bp, key_n, jnp.asarray(False)
 
+    # dtype-aware convergence floor: under f32 a 1e-6 absolute LL
+    # tolerance is below representational resolution at |LL| ~ 1e3
+    # (~6e-5), so the raw criterion never fires and the loop burns all
+    # max_iter E-steps (measured 18 s/fit). 50 eps |LL| is the honest
+    # "converged at this precision" threshold; under f64 the user tol
+    # dominates and behavior is unchanged.
+    eps = jnp.finfo(dt).eps
+
+    # Global no-improvement stall exit: when the M-step's a is pinned at
+    # the 0.99 clip, `stuck` routes every iteration through a random
+    # perturbation that (at a local optimum) never beats best_ll, so
+    # neither `converged` nor the restart sweep's `done` ever fires and
+    # the loop burns all max_iter E-steps re-confirming the optimum
+    # (measured 18 s/fit at max_iter=1000; the reference's host loop has
+    # the same blind spot, `optimize.py:92-160`). 30 consecutive
+    # iterations without a best_ll improvement is a full perturbation
+    # sweep several times over — converged for any practical purpose.
+    stall_limit = 30
+
     def body(c):
-        params, best_ll, best_p, key, it, done = c
+        params, best_ll, best_p, key, it, done, no_imp = c
         state, ll, valid = e_step(params)
-        converged = jnp.abs(ll - best_ll) < tol
+        mag = jnp.where(jnp.isfinite(best_ll), jnp.abs(best_ll), 1.0)
+        tol_eff = jnp.maximum(
+            jnp.asarray(tol, dt), 50.0 * eps * jnp.maximum(1.0, mag)
+        )
+        converged = jnp.abs(ll - best_ll) < tol_eff
         params_n, bl, bp, key_n, done_n = jax.lax.cond(
             valid,
             lambda: jax.lax.cond(
@@ -745,7 +768,9 @@ def _ukf_em_device(returns, a0, l0, q0, tol, perturb_scale, key, max_iter,
             ),
             lambda: on_invalid(params, best_ll, best_p, key, state, ll),
         )
-        return params_n, bl, bp, key_n, it + 1, done_n
+        no_imp_n = jnp.where(bl > best_ll, 0, no_imp + 1)
+        return (params_n, bl, bp, key_n, it + 1,
+                done_n | (no_imp_n >= stall_limit), no_imp_n)
 
     p0 = jnp.stack(
         [jnp.asarray(a0, dt), jnp.asarray(l0, dt), jnp.asarray(q0, dt)]
@@ -757,8 +782,9 @@ def _ukf_em_device(returns, a0, l0, q0, tol, perturb_scale, key, max_iter,
         key,
         jnp.asarray(0),
         jnp.asarray(False),
+        jnp.asarray(0),
     )
-    _, best_ll, best_p, _, _, _ = jax.lax.while_loop(
+    _, best_ll, best_p, _, _, _, _ = jax.lax.while_loop(
         lambda c: (~c[5]) & (c[4] < max_iter), body, init
     )
     return best_p, best_ll
