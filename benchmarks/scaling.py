@@ -30,6 +30,12 @@ def main():
 
     import jax
 
+    # honor JAX_PLATFORMS=cpu for the virtual mesh: the session's axon
+    # plugin wins over the env var unless pinned via config (the same
+    # gotcha tests/conftest.py documents)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from copula_var_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax.numpy as jnp
