@@ -8,6 +8,10 @@ held-out likelihood, and writes diagnostic PNGs.
 
 import argparse
 import os
+import sys
+
+# runnable as `python examples/model_diagnostics.py` without installing
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -10,6 +10,12 @@ Data: the reference downloads ^GSPC/^IXIC via yfinance (network). Offline
 """
 
 import argparse
+import os
+import sys
+
+# runnable as `python examples/run_backtest.py` without installing the
+# package: python puts examples/ (not the repo root) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
