@@ -123,19 +123,15 @@ def pallas_canary():
 
 
 def main():
-    import os
-
     import jax
 
     # Persistent compilation cache: the bench is dominated by remote TPU
     # compiles (canary kernels + the fused-solver programs), identical
     # run-to-run. First run populates the repo-local cache; the driver's
     # end-of-round run then reuses it.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from copula_var_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     import jax.numpy as jnp
 

@@ -157,6 +157,19 @@ def _plackett_program():
     return run
 
 
+@functools.lru_cache(maxsize=None)
+def _student_stage1_loss(dim: int):
+    """Stable-identity stage-1 IFM loss for the batched L-BFGS (per-nu
+    transforms arrive as batched row args)."""
+
+    def loss(rho, log_density_sum, z, fin, lus, nu):
+        return student.negative_log_likelihood_from_transform(
+            rho, z, fin, lus, nu, log_density_sum, dim
+        )
+
+    return loss
+
+
 @functools.partial(jax.jit, static_argnames=("dim", "n_par", "max_iter"))
 def _student_stage1_device(marginals, nu_arr, log_density_sum, dim, n_par,
                            max_iter=200, tol=1e-8):
@@ -165,68 +178,32 @@ def _student_stage1_device(marginals, nu_arr, log_density_sum, dim, n_par,
     The reference runs one scipy L-BFGS-B per nu in the grid
     (`student/opti.py:116-147`); for dim == 2 we replace that with a
     lockstep golden-section scan, and for dim >= 3 (n_par > 1) THIS:
-    a vmapped optax L-BFGS (with zoom linesearch) over the nu grid,
-    rho bounded to (-0.99, 0.99) by a tanh reparameterization (the
-    reference's box bounds) and non-PD proposals rejected by the loss's
-    PENALTY plateau (zero gradient outside PD, so the linesearch backs
-    off exactly like the reference's 1e10 penalty). One dispatch for the
-    whole stage; the per-nu t_ppf transforms are precomputed in the same
-    program.
+    `ops/lbfgs.box_lbfgs_batch` over the nu grid (optax L-BFGS with zoom
+    linesearch, rho tanh-bounded to (-0.99, 0.99) — the reference's box
+    — and non-PD/non-finite proposals rejected by the PENALTY plateau,
+    so the linesearch backs off exactly like the reference's 1e10
+    penalty). One dispatch for the whole stage; the per-nu t_ppf
+    transforms are precomputed in the same program and threaded through
+    as batched row args.
 
     Returns (rho_b (B, n_par), nll_b (B,)).
     """
-    import optax
-    import optax.tree_utils as otu
+    from copula_var_tpu.ops.lbfgs import box_lbfgs_batch
 
     z_b, fin_b, lus_b = jax.vmap(
         lambda nu: student.precompute_transform(marginals, nu)
     )(nu_arr)
-    scale = 0.99
-    # value-stall stop: see ops/lbfgs.py — a pure gradient criterion
-    # never fires under f32 and burns max_iter x linesearch evals
-    eps = jnp.finfo(marginals.dtype).eps
-
-    def solve_one(z, fin, lus, nu):
-        def loss(s):
-            rho = scale * jnp.tanh(s)
-            return student.negative_log_likelihood_from_transform(
-                rho, z, fin, lus, nu, log_density_sum, dim
-            )
-
-        opt = optax.lbfgs()
-        vg = optax.value_and_grad_from_state(loss)
-
-        def step(carry):
-            s, state, f_prev, stall = carry
-            value, grad = vg(s, state=state)
-            updates, state = opt.update(
-                grad, state, s, value=value, grad=grad, value_fn=loss
-            )
-            stall = jnp.where(
-                jnp.abs(value - f_prev)
-                <= 10.0 * eps * jnp.maximum(1.0, jnp.abs(value)),
-                stall + 1,
-                0,
-            )
-            return optax.apply_updates(s, updates), state, value, stall
-
-        def cont(carry):
-            _, state, _, stall = carry
-            it = otu.tree_get(state, "count")
-            err = otu.tree_norm(otu.tree_get(state, "grad"))
-            return (it == 0) | ((it < max_iter) & (err >= tol) & (stall < 3))
-
-        s0 = jnp.full((n_par,), jnp.arctanh(0.5 / scale),
-                      dtype=marginals.dtype)
-        s_fin, _, _, _ = jax.lax.while_loop(
-            cont, step,
-            (s0, opt.init(s0), jnp.asarray(jnp.inf, dtype=marginals.dtype),
-             jnp.asarray(0, dtype=jnp.int32)),
-        )
-        rho = scale * jnp.tanh(s_fin)
-        return rho, loss(s_fin)
-
-    return jax.vmap(solve_one)(z_b, fin_b, lus_b, nu_arr)
+    B = nu_arr.shape[0]
+    dt = marginals.dtype
+    return box_lbfgs_batch(
+        _student_stage1_loss(dim),
+        jnp.full((n_par,), -0.99, dtype=dt),
+        jnp.full((n_par,), 0.99, dtype=dt),
+        jnp.full((B, n_par), 0.5, dtype=dt),
+        log_density_sum,
+        batched_args=(z_b, fin_b, lus_b, nu_arr),
+        max_iter=max_iter, tol=tol,
+    )
 
 
 def _scipy_fun(jitted_value_and_grad):
@@ -316,7 +293,8 @@ def fit_student(marginals, densities, nu_values=None, nu_bounds=(2.01, 50.0),
         # loop (and round 2's host loop with per-call transport).
         nu_arr = jnp.asarray(np.asarray(nu_values, dtype=float))
         rho_b, nll_b = _student_stage1_device(
-            marginals, nu_arr, jnp.asarray(log_density_sum), dim, n_par
+            marginals, nu_arr, jnp.asarray(log_density_sum), dim, n_par,
+            max_iter=int(max_iter), tol=tol,
         )
         stage1_nlls = np.asarray(nll_b)
         stage1_nlls = np.where(np.isfinite(stage1_nlls), stage1_nlls, np.inf)

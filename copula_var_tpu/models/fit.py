@@ -768,7 +768,13 @@ def _ukf_em_device(returns, a0, l0, q0, tol, perturb_scale, key, max_iter,
             ),
             lambda: on_invalid(params, best_ll, best_p, key, state, ll),
         )
-        no_imp_n = jnp.where(bl > best_ll, 0, no_imp + 1)
+        # invalid E-steps neither stall nor reset the counter: a bad init
+        # may need many perturbations just to reach the valid region, and
+        # counting those as "no improvement" would abort before any valid
+        # point is found
+        no_imp_n = jnp.where(
+            bl > best_ll, 0, jnp.where(valid, no_imp + 1, no_imp)
+        )
         return (params_n, bl, bp, key_n, it + 1,
                 done_n | (no_imp_n >= stall_limit), no_imp_n)
 

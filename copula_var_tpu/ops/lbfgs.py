@@ -34,24 +34,26 @@ def _from_box(x, lo, hi, margin=1e-6):
 
 
 @functools.partial(jax.jit, static_argnames=("loss_fn", "max_iter"))
-def box_lbfgs_batch(loss_fn, lo, hi, x0, *args, max_iter=200, tol=1e-8):
-    """Minimize `loss_fn(x, *args)` (x (d,) -> scalar) from each row of
-    x0 (B, d) subject to lo < x < hi. Returns (x_star (B, d), f_star (B,)).
+def box_lbfgs_batch(loss_fn, lo, hi, x0, *args, batched_args=(),
+                    max_iter=200, tol=1e-8):
+    """Minimize `loss_fn(x, *args, *row_args)` (x (d,) -> scalar) from
+    each row of x0 (B, d) subject to lo < x < hi. Returns
+    (x_star (B, d), f_star (B,)).
 
     One dispatch for the whole batch; each solve is an optax L-BFGS
     while_loop, vmapped over B. `loss_fn` is a STATIC jit key — pass a
     module-level (stable-identity) function and thread data through
-    `*args` (dynamic), or every call re-traces and re-compiles.
+    `*args` (shared across rows) / `batched_args` (a tuple of arrays
+    vmapped along axis 0, one slice per solve — e.g. per-nu transforms),
+    or every call re-traces and re-compiles. Non-finite losses map to a
+    PENALTY plateau (zero gradient; the linesearch backs off) and
+    non-finite gradients are zeroed.
     """
     import optax
     import optax.tree_utils as otu
 
     lo = jnp.asarray(lo, dtype=x0.dtype)
     hi = jnp.asarray(hi, dtype=x0.dtype)
-
-    def wrapped(s):
-        v = loss_fn(_to_box(s, lo, hi), *args)
-        return jnp.where(jnp.isfinite(v), v, PENALTY)
 
     # Value-stall stop alongside the gradient test: under f32 (x64 off —
     # the TPU production dtype) a 1e-8 gradient norm is unreachable
@@ -61,7 +63,11 @@ def box_lbfgs_batch(loss_fn, lo, hi, x0, *args, max_iter=200, tol=1e-8):
     # beyond ~10 eps |f| means converged at this precision.
     eps = jnp.finfo(jnp.asarray(x0).dtype).eps
 
-    def solve_one(x0_row):
+    def solve_one(x0_row, row_args):
+        def wrapped(s):
+            v = loss_fn(_to_box(s, lo, hi), *args, *row_args)
+            return jnp.where(jnp.isfinite(v), v, PENALTY)
+
         opt = optax.lbfgs()
         vg = optax.value_and_grad_from_state(wrapped)
 
@@ -96,4 +102,6 @@ def box_lbfgs_batch(loss_fn, lo, hi, x0, *args, max_iter=200, tol=1e-8):
         )
         return _to_box(s_fin, lo, hi), wrapped(s_fin)
 
-    return jax.vmap(solve_one)(jnp.asarray(x0))
+    return jax.vmap(solve_one, in_axes=(0, 0))(
+        jnp.asarray(x0), tuple(batched_args)
+    )

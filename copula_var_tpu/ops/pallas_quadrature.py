@@ -147,14 +147,17 @@ def masked_sandwich_integrals_blocked(bounds, day_tensors, w0, w1, fcombos,
     materialized masked operand. Used by the sweep-bandwidth benchmark
     and any caller doing single sweeps at full T.
     """
-    from copula_var_tpu.ops.pallas_solver import _lane_round
+    from copula_var_tpu.ops.pallas_solver import _clamp_day_block, _lane_round
 
     f32 = jnp.float32
     T, n, _ = day_tensors.shape
     q = w0.shape[0]
     # Mosaic: the day-block dim must be sublane-divisible -> B multiple
-    # of 8 (days are padded to a B multiple, so B > T is fine)
-    B = max(8, (day_block // 8) * 8)
+    # of 8 (days are padded to a B multiple, so B > T is fine); the
+    # solver's VMEM-footprint clamp applies here too (its L=1 footprint
+    # upper-bounds this kernel's: same v2/xow/wfc/repl blocks, and the
+    # sweep's 5-group scal is smaller than the solver's 9-group one)
+    B = _clamp_day_block(day_block, max(T, 8), n, q, 1)
     pad = (-T) % B
     padT = (
         (lambda a: jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)]))
@@ -172,7 +175,19 @@ def masked_sandwich_integrals_blocked(bounds, day_tensors, w0, w1, fcombos,
         q = 2
     fc3 = padT(jnp.asarray(fcombos, f32).reshape(T, q, q))
     wfc = jnp.einsum("si,tsk->tik", w0, fc3).reshape(Tp * n, q)
-    v2 = padT(jnp.asarray(day_tensors, f32)).reshape(Tp * n, n)
+    # NaN isolation (same mechanism as pallas_solver._solve): a NaN day
+    # tensor would contaminate every day in its BLOCK through the replt
+    # group-sum matmul (0 * NaN = NaN). Sanitize the operands, then
+    # re-inject NaN for the affected days only — matching the cached
+    # engine's per-day NaN-in -> NaN-out semantics.
+    v_pad = padT(jnp.asarray(day_tensors, f32))
+    day_nan = jnp.any(~jnp.isfinite(v_pad), axis=(1, 2)) | jnp.any(
+        ~jnp.isfinite(wfc.reshape(Tp, n, q)), axis=(1, 2)
+    )
+    wfc = jnp.nan_to_num(wfc, nan=0.0, posinf=0.0, neginf=0.0)
+    v2 = jnp.nan_to_num(
+        v_pad, nan=0.0, posinf=0.0, neginf=0.0
+    ).reshape(Tp * n, n)
     xv = jnp.asarray(x, f32)
     xow = jnp.broadcast_to(jnp.tile(xv, B).reshape(B * n, 1), (B * n, n))
     repl = jnp.repeat(jnp.eye(B, dtype=f32), n, axis=0)
@@ -220,7 +235,7 @@ def masked_sandwich_integrals_blocked(bounds, day_tensors, w0, w1, fcombos,
         repl,
         repl.T,
     )
-    return jnp.sum(gp, axis=1)[:T]
+    return jnp.where(day_nan, jnp.nan, jnp.sum(gp, axis=1))[:T]
 
 
 def msm_integrals_pallas(bounds, day_tensors, forecast_combos, x, dx,

@@ -471,10 +471,12 @@ def garch_integrals_cached(bounds, V, x, dx, weights, box_min=BOX_MIN):
 
 # One day's density grid may transiently materialize n^dim f64 elements;
 # beyond this budget even a 1-day chunk is an HBM-OOM hazard (n=100,
-# dim=4 -> 1e8 elements = 800 MB). Fail loudly instead of letting the
-# scheduler discover it (the reference's engine is likewise fragile above
-# dim 2 — `create_grids.py:135-137` — but fails silently/wrong).
-MAX_GRID_ELEMENTS_PER_DAY = 1 << 24  # 128 MB f64
+# dim=4 -> 1e8 elements = 800 MB, and several such transients coexist in
+# one sweep program). Fail loudly instead of letting the scheduler
+# discover it (the reference's engine is likewise fragile above dim 2 —
+# `create_grids.py:135-137` — but fails silently/wrong). 2^26 elements =
+# 512 MB f64 keeps previously-working dim-3 configs (e.g. n=257) legal.
+MAX_GRID_ELEMENTS_PER_DAY = 1 << 26
 
 
 def _day_batch(n: int, dim: int, T: int) -> int:

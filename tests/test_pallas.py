@@ -254,3 +254,41 @@ def test_blocked_sweep_q1_matches_cached(rng):
         )
     )
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-7)
+
+
+def test_blocked_sweep_nan_day_isolated(rng):
+    """One NaN day tensor must NaN ONLY its own integral, not every day
+    sharing its block (the group-sum matmul would propagate 0 * NaN
+    without the operand sanitization; review finding r03)."""
+    from copula_var_tpu.ops.pallas_quadrature import (
+        masked_sandwich_integrals_blocked,
+    )
+
+    n, q, T = 32, 3, 8
+    x, dx = msm_grid(n)
+    uvols = np.sort(rng.uniform(0.5, 1.5, size=(2, q)), axis=1)
+    dens = np.exp(-0.5 * (x[None, None, :] / uvols[:, :, None]) ** 2) / (
+        np.sqrt(2 * np.pi) * uvols[:, :, None]
+    )
+    fbs = rng.uniform(0.1, 1.0, size=(T, 2, q))
+    fbs /= fbs.sum(axis=2, keepdims=True)
+    fcombos = np.einsum("ti,tj->tij", fbs[:, 0], fbs[:, 1]).reshape(T, -1)
+    spec = CopulaSpec("gaussian", (jnp.asarray(CORR),))
+    C = np.array(msm_day_tensors(fbs, x, uvols, spec))
+    C[3] = np.nan  # reference-parity 0/0-density day
+    bounds = np.stack([BOUNDS[i % len(BOUNDS)] for i in range(T)])
+    w0 = dens[1] * dx[None, :]
+    w1 = dens[0] * dx[None, :]
+    got = np.asarray(
+        masked_sandwich_integrals_blocked(
+            bounds, jnp.asarray(C, jnp.float32), w0, w1, fcombos, x,
+            WEIGHTS, interpret=True, day_block=4,
+        )
+    )
+    want = np.asarray(
+        msm_integrals_cached(bounds, C, fcombos, x, dx, dens, WEIGHTS)
+    )
+    assert np.isnan(got[3]) and np.isnan(want[3])
+    ok = np.arange(T) != 3
+    assert np.all(np.isfinite(got[ok]))
+    np.testing.assert_allclose(got[ok], want[ok], rtol=5e-5, atol=1e-7)
