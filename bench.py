@@ -261,6 +261,8 @@ def main():
     if canary_errors:
         extra["pallas_error"] = canary_errors
         print(f"pallas canary failures: {canary_errors}", file=sys.stderr)
+    else:
+        extra["pallas_canary"] = "ok"
     try:
         if any(k.startswith("pallas_solver") for k in canary_errors):
             raise RuntimeError(
