@@ -416,7 +416,10 @@ class VaRBacktest:
     num_points: int = 100
     box: tuple = (-5.0, 5.0)
     copula_fit_kwargs: Optional[dict] = None
-    engine: str = "xla"  # 'xla' | 'pallas' (fused f32 TPU) | 'sharded' (mesh)
+    # 'xla' (f64 parity) | 'pallas' (fused f32 TPU kernels) | 'sharded'
+    # (day-sharded SPMD while-loop over a mesh) | 'sharded_pallas'
+    # (shard_map of the fused f32 kernel over the mesh — pod-scale)
+    engine: str = "xla"
     # engine='pallas': days solved per kernel program. The TPU grid is
     # sequential, so this is what vectorizes the per-iteration scalar
     # bookkeeping across days (`ops/pallas_solver.py`).
@@ -546,11 +549,11 @@ class VaRBacktest:
                     "engine='pallas' requires dim in {2, 3} and an adapter "
                     "with a Pallas/cached-columns path"
                 )
-        elif self.engine == "sharded":
+        elif self.engine in ("sharded", "sharded_pallas"):
             if self.data.dim != 2 or not hasattr(self.adapter, "day_tensors"):
                 raise ValueError(
-                    "engine='sharded' requires dim == 2 and an adapter "
-                    "with a cached-tensor path"
+                    f"engine={self.engine!r} requires dim == 2 and an "
+                    "adapter with a cached-tensor path"
                 )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -734,6 +737,12 @@ class VaRBacktest:
                 obj_var, bis, result_current, upper_stack, prev_upper,
                 tolerance,
             )
+        elif self.engine == "sharded_pallas":
+            self._cached_integral_fn()
+            final = self._bisection_sharded_pallas_levels(
+                np.asarray([obj_var]), bis[None], result_current[None],
+                upper_stack[None], prev_upper[None], tolerance,
+            )[0]
         elif self._cached_integral_fn() is not None:
             final = self._bisection_device(
                 obj_var, bis, result_current, upper_stack, prev_upper,
@@ -797,6 +806,12 @@ class VaRBacktest:
         elif self.engine == "sharded":
             self._cached_integral_fn()  # builds sharded self._cached_tensors
             final = self._bisection_sharded_levels(
+                obj_vars, bis, prev_result, upper_stack, prev_upper,
+                tolerance,
+            )
+        elif self.engine == "sharded_pallas":
+            self._cached_integral_fn()
+            final = self._bisection_sharded_pallas_levels(
                 obj_vars, bis, prev_result, upper_stack, prev_upper,
                 tolerance,
             )
@@ -877,6 +892,41 @@ class VaRBacktest:
             )
         return garch_solve_pallas_levels(
             tensors, inputs.x, inputs.dx, self.data.weights, **common,
+        )
+
+    def _bisection_sharded_pallas_levels(self, obj_vars, bisection_bounds,
+                                         prev_result, upper_stack,
+                                         prev_upper, tolerance):
+        """Day-sharded FUSED bisection: `jax.shard_map` of the Pallas
+        VMEM-resident kernel over the mesh's 'days' axis — each device
+        solves its own day shard's full bisection with zero cross-device
+        collectives (`ops/pallas_solver.py::
+        bisection_solve_pallas_levels_sharded`). The pod-scale engine:
+        per-device HBM holds only its (T/D, n, n) shard and streams it
+        ONCE per multi-level solve."""
+        from copula_var_tpu.ops.pallas_solver import (
+            garch_solve_pallas_levels_sharded,
+            msm_solve_pallas_levels_sharded,
+        )
+
+        inputs = self.integration_inputs
+        tensors = self._cached_tensors  # padded + day-sharded global
+        interpret = jax.devices()[0].platform != "tpu"
+        common = dict(
+            lower=bisection_bounds[:, :, 0], upper=bisection_bounds[:, :, 1],
+            prev_result=prev_result, prev_upper=prev_upper,
+            upper_stack=upper_stack, obj_vars=obj_vars, tolerance=tolerance,
+            box_min=self.box[0], interpret=interpret,
+            day_block=self.pallas_day_block,
+        )
+        mesh = self._get_mesh()
+        if isinstance(inputs, MsmIntegrationInputs):
+            return msm_solve_pallas_levels_sharded(
+                mesh, tensors, inputs.forecast_combos, inputs.x, inputs.dx,
+                inputs.densities, self.data.weights, **common,
+            )
+        return garch_solve_pallas_levels_sharded(
+            mesh, tensors, inputs.x, inputs.dx, self.data.weights, **common,
         )
 
     def _bisection_sharded(self, obj_var, bisection_bounds, prev_result,

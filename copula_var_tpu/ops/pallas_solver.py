@@ -423,3 +423,132 @@ def garch_solve_pallas_levels(day_tensors, x, dx, weights, lower, upper,
         prev_result, prev_upper, upper_stack, obj_vars, tolerance, box_min,
         interpret=interpret, day_block=day_block,
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-sharded fused solve: shard_map of the fused kernel over a mesh
+# ---------------------------------------------------------------------------
+
+
+def bisection_solve_pallas_levels_sharded(
+    mesh, day_tensors, w0, w1, fcombos, x, weights, lower, upper,
+    prev_result, prev_upper, upper_stack, obj_vars, tolerance,
+    box_min=-5.0, *, interpret=False, day_block=32,
+):
+    """(L, T) roots with the day axis SHARDED over `mesh` ('days' axis):
+    every device runs the fused VMEM-resident bisection
+    (`_solve_kernel`) on its own day shard via `jax.shard_map`. Each
+    day's bisection is independent, so the program needs ZERO
+    cross-device collectives — weak scaling is exact by construction,
+    and per-device HBM only ever holds its own (T/D, n, n) shard (the
+    pod-scale answer to the reference's ~24 host-driven sweeps,
+    `calc_var_class.py:250-309`, when T outgrows one chip's HBM).
+
+    `day_tensors` may be the raw (T, n, n) array or the orchestrator's
+    already-padded day-sharded global array ((Tp, n, n), Tp a multiple
+    of the mesh size). Returns host-replicated (L, T) roots.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from copula_var_tpu.parallel.multiprocess import fetch, put_global
+
+    lower = np.atleast_2d(np.asarray(lower, dtype=np.float64))
+    upper = np.atleast_2d(np.asarray(upper, dtype=np.float64))
+    obj_vars = np.atleast_1d(np.asarray(obj_vars, dtype=np.float64))
+    L, T = lower.shape
+    n_dev = mesh.shape["days"]
+    Tp = T + ((-T) % n_dev)
+    if float(np.max(upper - lower)) <= tolerance:
+        return np.asarray((lower + upper) / 2.0, dtype=np.float32)
+    n_iters = tuple(
+        max(1, int(math.ceil(
+            math.log2(max(float(np.max(upper[l] - lower[l])), tolerance)
+                      / tolerance))))
+        for l in range(L)
+    )
+    scal = np.stack(
+        [
+            lower,
+            upper,
+            np.broadcast_to(np.asarray(prev_result, dtype=np.float64), (L, T)),
+            np.broadcast_to(np.asarray(prev_upper, dtype=np.float64), (L, T)),
+            np.broadcast_to(np.asarray(upper_stack, dtype=np.float64), (L, T)),
+            np.full((L, T), float(weights[0])),
+            np.full((L, T), float(weights[1])),
+            np.full((L, T), float(box_min)),
+            np.broadcast_to(obj_vars[:, None], (L, T)),
+        ],
+        axis=-1,
+    )  # (L, T, 9)
+
+    def pad_np(a):  # repeat the final day; outputs sliced off below
+        if Tp == a.shape[0]:
+            return a
+        return np.concatenate([a, np.repeat(a[-1:], Tp - a.shape[0], axis=0)])
+
+    d = NamedSharding(mesh, P("days"))
+    scal_s = put_global(pad_np(np.swapaxes(scal, 0, 1)), d)  # (Tp, L, 9)
+    q = np.asarray(w0).shape[0]
+    fc_s = put_global(
+        pad_np(np.asarray(fcombos, dtype=np.float32).reshape(T, q * q)), d
+    )
+    if day_tensors.shape[0] == T:
+        v_s = put_global(pad_np(np.asarray(day_tensors, np.float32)), d)
+    elif day_tensors.shape[0] == Tp:
+        v_s = put_global(day_tensors, d)  # orchestrator's padded cache
+    else:
+        raise ValueError(
+            f"day_tensors has {day_tensors.shape[0]} days; expected T={T} "
+            f"or padded Tp={Tp} for the {n_dev}-device mesh"
+        )
+
+    def local_solve(scal_l, fc_l, v_l, x_a, w0_a, w1_a):
+        return _solve(
+            scal_l, x_a, w0_a, w1_a, fc_l, v_l, n_iters=n_iters,
+            n_levels=L, box_min=float(box_min), interpret=interpret,
+            day_block=day_block,
+        )
+
+    f = jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P("days"), P("days"), P("days"), P(), P(), P()),
+        out_specs=P("days"),
+        check_vma=False,
+    )
+    out = f(
+        scal_s, fc_s, v_s, jnp.asarray(x, jnp.float32),
+        jnp.asarray(w0, jnp.float32), jnp.asarray(w1, jnp.float32),
+    )  # (Tp, L)
+    return fetch(out)[:T].T
+
+
+def msm_solve_pallas_levels_sharded(mesh, day_tensors, forecast_combos, x,
+                                    dx, densities, weights, lower, upper,
+                                    prev_result, prev_upper, upper_stack,
+                                    obj_vars, tolerance, box_min=-5.0, *,
+                                    interpret=False, day_block=32):
+    """Day-sharded fused multi-level solve, MSM family."""
+    w0, w1 = _msm_w01(densities, dx)
+    return bisection_solve_pallas_levels_sharded(
+        mesh, day_tensors, w0, w1, forecast_combos, x, weights, lower,
+        upper, prev_result, prev_upper, upper_stack, obj_vars, tolerance,
+        box_min, interpret=interpret, day_block=day_block,
+    )
+
+
+def garch_solve_pallas_levels_sharded(mesh, day_tensors, x, dx, weights,
+                                      lower, upper, prev_result, prev_upper,
+                                      upper_stack, obj_vars, tolerance,
+                                      box_min=-5.0, *, interpret=False,
+                                      day_block=32):
+    """Day-sharded fused multi-level solve, GARCH/mean-reverting (q=1)."""
+    # combo weights sized to the UNPADDED day count (day_tensors may be
+    # the orchestrator's padded cache)
+    T = np.atleast_2d(np.asarray(lower)).shape[-1]
+    dx_row = jnp.asarray(dx)[None, :]
+    ones = np.ones((T, 1))
+    return bisection_solve_pallas_levels_sharded(
+        mesh, day_tensors, dx_row, dx_row, ones, x, weights, lower, upper,
+        prev_result, prev_upper, upper_stack, obj_vars, tolerance, box_min,
+        interpret=interpret, day_block=day_block,
+    )

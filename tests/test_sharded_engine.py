@@ -116,3 +116,35 @@ def test_config_driven_sharded_engine(rng):
     assert bt.mesh.devices.size == 4
     assert var.shape == (data.out_sample_n,)
     assert np.all(np.isfinite(var))
+
+
+@pytest.mark.parametrize("family", ["msm", "garch"])
+def test_sharded_pallas_engine_matches_xla(rng, family):
+    """engine='sharded_pallas': shard_map of the FUSED f32 bisection
+    kernel over the 8-device mesh (each device solves its day shard
+    entirely in VMEM, zero collectives). Roots agree with the f64 xla
+    engine within the fused kernel's documented plateau bound."""
+    data = _data(rng)
+    build = _msm_backtest if family == "msm" else _garch_backtest
+    want = build(data, engine="xla").calc_var(0.05)
+    mesh = make_mesh(n_devices=8)
+    got = build(data, engine="sharded_pallas", mesh=mesh).calc_var(0.05)
+    # f32 kernel vs f64 engine: one grid-cell plateau bound at
+    # num_points=24 (cell ~0.067 x weights[0]=0.5 -> 0.033; the engines'
+    # stage sweeps differ in precision, so a day whose |F - obj| at the
+    # step is below f32 resolution may resolve one cell over)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-2)
+    # most days agree exactly with the f64 roots (plateau flips are rare)
+    assert np.mean(np.abs(got - want) < 1e-6) > 0.7
+
+
+def test_sharded_pallas_engine_levels_uneven(rng):
+    """Multi-level ladder + T not divisible by the mesh (pad-and-slice)."""
+    data = _data(rng, t_out=13)
+    levels = (0.01, 0.05)
+    want = _msm_backtest(data, engine="xla").calc_var_levels(levels)
+    got = _msm_backtest(
+        data, engine="sharded_pallas", mesh=make_mesh(n_devices=8)
+    ).calc_var_levels(levels)
+    assert got.shape == (2, 13)
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-2)
