@@ -96,9 +96,11 @@ class BacktestConfig:
     n_insample: int = 1135
     num_points: int = 100
     # 'xla' (f64-capable) | 'pallas' (fused f32 TPU kernel, dim 2-3) |
-    # 'sharded' (day-sharded SPMD over the device mesh)
+    # 'sharded' (day-sharded SPMD over the device mesh) |
+    # 'sharded_pallas' (shard_map of the fused kernel over the mesh)
     engine: str = "xla"
-    n_mesh_devices: Optional[int] = None  # engine='sharded': mesh size (None = all)
+    # engine='sharded'/'sharded_pallas': mesh size (None = all devices)
+    n_mesh_devices: Optional[int] = None
     # engine='pallas': days per kernel program (see VaRBacktest.pallas_day_block)
     pallas_day_block: int = 32
     weights: Optional[Sequence[float]] = None  # default equal weights
@@ -187,7 +189,7 @@ def run_backtest(data, cfg: BacktestConfig):
         pallas_day_block=cfg.pallas_day_block,
         **adapter_kwargs(cfg),
     )
-    if cfg.engine == "sharded" and cfg.n_mesh_devices is not None:
+    if cfg.engine in ("sharded", "sharded_pallas") and cfg.n_mesh_devices is not None:
         from copula_var_tpu.parallel import make_mesh
 
         bt.mesh = make_mesh(n_devices=cfg.n_mesh_devices)
