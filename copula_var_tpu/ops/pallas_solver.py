@@ -430,6 +430,30 @@ def garch_solve_pallas_levels(day_tensors, x, dx, weights, lower, upper,
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=None)
+def _sharded_solve_program(mesh, n_iters, n_levels, box_min, interpret,
+                           day_block):
+    """Stable-identity jitted shard_map of the fused solve: cached per
+    (mesh, iteration schedule, config), so repeat solves dispatch the
+    compiled program instead of re-tracing a fresh closure every call
+    (measured 2.4 s/solve of pure retrace overhead without this)."""
+    from jax.sharding import PartitionSpec as P
+
+    def local_solve(scal_l, fc_l, v_l, x_a, w0_a, w1_a):
+        return _solve(
+            scal_l, x_a, w0_a, w1_a, fc_l, v_l, n_iters=n_iters,
+            n_levels=n_levels, box_min=box_min, interpret=interpret,
+            day_block=day_block,
+        )
+
+    return jax.jit(jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P("days"), P("days"), P("days"), P(), P(), P()),
+        out_specs=P("days"),
+        check_vma=False,
+    ))
+
+
 def bisection_solve_pallas_levels_sharded(
     mesh, day_tensors, w0, w1, fcombos, x, weights, lower, upper,
     prev_result, prev_upper, upper_stack, obj_vars, tolerance,
@@ -487,33 +511,34 @@ def bisection_solve_pallas_levels_sharded(
         return np.concatenate([a, np.repeat(a[-1:], Tp - a.shape[0], axis=0)])
 
     d = NamedSharding(mesh, P("days"))
-    scal_s = put_global(pad_np(np.swapaxes(scal, 0, 1)), d)  # (Tp, L, 9)
-    q = np.asarray(w0).shape[0]
-    fc_s = put_global(
-        pad_np(np.asarray(fcombos, dtype=np.float32).reshape(T, q * q)), d
+    # Single-process: hand HOST arrays straight to the jitted shard_map —
+    # its dispatch batches all placements in one transport round trip.
+    # Eager per-array device_puts here cost one blocking RPC each over a
+    # remote-TPU tunnel (measured ~0.5 s of pure transfer latency per
+    # solve). Multi-process: put_global builds proper global arrays.
+    place = (
+        (lambda a: put_global(a, d)) if jax.process_count() > 1
+        else (lambda a: a)
     )
-    if day_tensors.shape[0] == T:
-        v_s = put_global(pad_np(np.asarray(day_tensors, np.float32)), d)
+    scal_s = place(pad_np(np.swapaxes(scal, 0, 1)))  # (Tp, L, 9)
+    q = np.asarray(w0).shape[0]
+    fc_s = place(
+        pad_np(np.asarray(fcombos, dtype=np.float32).reshape(T, q * q))
+    )
+    if isinstance(day_tensors, jax.Array) and day_tensors.shape[0] == Tp:
+        v_s = put_global(day_tensors, d)  # pre-placed cache: passthrough
+    elif day_tensors.shape[0] == T:
+        v_s = place(pad_np(np.asarray(day_tensors, np.float32)))
     elif day_tensors.shape[0] == Tp:
-        v_s = put_global(day_tensors, d)  # orchestrator's padded cache
+        v_s = place(np.asarray(day_tensors, np.float32))
     else:
         raise ValueError(
             f"day_tensors has {day_tensors.shape[0]} days; expected T={T} "
             f"or padded Tp={Tp} for the {n_dev}-device mesh"
         )
 
-    def local_solve(scal_l, fc_l, v_l, x_a, w0_a, w1_a):
-        return _solve(
-            scal_l, x_a, w0_a, w1_a, fc_l, v_l, n_iters=n_iters,
-            n_levels=L, box_min=float(box_min), interpret=interpret,
-            day_block=day_block,
-        )
-
-    f = jax.shard_map(
-        local_solve, mesh=mesh,
-        in_specs=(P("days"), P("days"), P("days"), P(), P(), P()),
-        out_specs=P("days"),
-        check_vma=False,
+    f = _sharded_solve_program(
+        mesh, n_iters, L, float(box_min), bool(interpret), int(day_block)
     )
     out = f(
         scal_s, fc_s, v_s, jnp.asarray(x, jnp.float32),

@@ -33,11 +33,19 @@ def put_global(arr, sharding):
     (non-fully-addressable) device array is passed through — it cannot be
     round-tripped via the host, and the orchestrator hands the solver its
     pre-sharded day tensors on exactly this path."""
+    if isinstance(arr, jax.Array):
+        try:
+            if arr.sharding.is_equivalent_to(sharding, arr.ndim):
+                # already placed as requested — a device_put here would
+                # still round-trip bytes through the host transport on
+                # remote-TPU backends (measured: ~20 MB of day tensors
+                # cost hundreds of ms per re-placement over the tunnel)
+                return arr
+        except Exception:
+            pass
     if jax.process_count() == 1:
         return jax.device_put(jnp.asarray(arr), sharding)
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
-        if arr.sharding == sharding:
-            return arr
         return jax.device_put(arr, sharding)
     host = np.asarray(arr)
     return jax.make_array_from_callback(
