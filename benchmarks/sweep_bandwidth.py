@@ -38,6 +38,10 @@ def main():
 
     import jax
 
+    # a REAL f64 row requires x64 (otherwise jnp.asarray silently
+    # downcasts and the 'f64' engine measures an identical f32 program)
+    jax.config.update("jax_enable_x64", True)
+
     from copula_var_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax.numpy as jnp
@@ -78,6 +82,13 @@ def main():
         ]))
 
     def slope(fn, tag, bytes_per_sweep):
+        try:
+            return _slope(fn, tag, bytes_per_sweep)
+        except Exception as e:  # remote compile-helper flakiness etc.
+            print(f"{tag:>28s}: FAILED ({type(e).__name__}: {str(e)[:90]})")
+            return None, None
+
+    def _slope(fn, tag, bytes_per_sweep):
         def scan_k(bs):
             import jax.numpy as jnp
 
@@ -98,6 +109,10 @@ def main():
                 best = min(best, time.time() - t0)
             ts[k] = best
         per_sweep = (ts[K_HI] - ts[K_LO]) / (K_HI - K_LO)
+        if per_sweep <= 0:
+            print(f"{tag:>28s}: (noise-dominated: t(K={K_HI}) <= t(K={K_LO}) "
+                  "— slope below environment jitter, discard this run)")
+            return None, None
         gbps = bytes_per_sweep / per_sweep / 1e9
         print(f"{tag:>28s}: {per_sweep * 1e3:7.3f} ms/sweep  "
               f"{T / per_sweep:12.0f} int/s  {gbps:6.1f} GB/s effective")
@@ -123,7 +138,8 @@ def main():
         B = args.day_block
         slope(
             lambda b: masked_sandwich_integrals_blocked(
-                b, C32, w0, w1, fcombos, x, w, day_block=B),
+                jnp.asarray(b, jnp.float32), C32, w0, w1, fcombos, x, w,
+                day_block=B),
             f"pallas blocked sweep B={B}", T * n * n * 4,
         )
 
