@@ -292,3 +292,17 @@ def test_blocked_sweep_nan_day_isolated(rng):
     ok = np.arange(T) != 3
     assert np.all(np.isfinite(got[ok]))
     np.testing.assert_allclose(got[ok], want[ok], rtol=5e-5, atol=1e-7)
+
+
+def test_clamp_day_block_rules():
+    """B must be a multiple of 8 (Mosaic sublane divisibility) and fit
+    the VMEM footprint estimate; the fallback floor is 8."""
+    from copula_var_tpu.ops.pallas_solver import _clamp_day_block
+
+    for db in (1, 4, 7, 8, 9, 16, 31, 32, 64, 128):
+        B = _clamp_day_block(db, 500, 100, 5, 1)
+        assert B % 8 == 0 and B >= 8, (db, B)
+        assert B <= max(8, (db // 8) * 8)
+    # large L / n shrink the block instead of failing opaquely
+    assert _clamp_day_block(64, 500, 100, 5, 4) < 64
+    assert _clamp_day_block(64, 500, 256, 5, 4) == 8
