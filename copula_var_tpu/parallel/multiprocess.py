@@ -23,7 +23,6 @@ orchestrator run unmodified across a `jax.distributed` cluster
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -44,7 +43,13 @@ def put_global(arr, sharding):
         except Exception:
             pass
     if jax.process_count() == 1:
-        return jax.device_put(jnp.asarray(arr), sharding)
+        # hand numpy straight to device_put: a jnp.asarray here would
+        # first commit the host array to the default device, adding an
+        # extra placement + reshard hop on exactly the remote-TPU
+        # transfer path this module minimizes (ADVICE r03)
+        if not isinstance(arr, (np.ndarray, jax.Array)):
+            arr = np.asarray(arr)
+        return jax.device_put(arr, sharding)
     if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
         return jax.device_put(arr, sharding)
     host = np.asarray(arr)

@@ -304,5 +304,10 @@ def test_clamp_day_block_rules():
         assert B % 8 == 0 and B >= 8, (db, B)
         assert B <= max(8, (db // 8) * 8)
     # large L / n shrink the block instead of failing opaquely
-    assert _clamp_day_block(64, 500, 100, 5, 4) < 64
-    assert _clamp_day_block(64, 500, 256, 5, 4) == 8
+    # (budget pinned: the default tracks the raised Mosaic vmem limit)
+    tight = 10 * 2 ** 20
+    assert _clamp_day_block(64, 500, 100, 5, 4, vmem_budget=tight) < 64
+    assert _clamp_day_block(64, 500, 256, 5, 4, vmem_budget=tight) == 8
+    # at the production default budget, production shapes keep B intact
+    assert _clamp_day_block(32, 500, 100, 5, 1) == 32
+    assert _clamp_day_block(128, 500, 100, 5, 1) == 128
