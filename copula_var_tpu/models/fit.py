@@ -57,115 +57,6 @@ def _garch_nll(returns, params, p):
     return jnp.where(ok, -ll, 1e10)
 
 
-@functools.partial(jax.jit, static_argnames=("p", "q", "max_iter"))
-def _newton_garch_device(returns, inits, p, q, max_iter, tol, eps):
-    """The ENTIRE multi-start Newton solve in one device program.
-
-    The reference's Newton (`garch/opti.py:139-166`) is a host loop of
-    finite-difference gradient/Hessian evaluations; a host loop around
-    jitted evals costs one transport round trip per iteration — fatal over
-    a remote-TPU link. Here the iteration (exact jax.grad/jax.hessian,
-    damped-Cholesky Newton step, backtracking line search, renormalize +
-    positivity projections) runs as a `lax.while_loop`, vmapped over the
-    multi-start batch: ONE dispatch per (p, q).
-
-    The Newton step uses damped Cholesky solves (H + mu I) with mu
-    escalated until factorization succeeds, instead of the reference's
-    `np.linalg.pinv` (`opti.py:150`) — TPU has no f64 SVD, and the damped
-    step with a line search is the standard robust alternative; the
-    optimum (where H is PD and mu -> 0) is unchanged.
-    """
-    returns = jnp.asarray(returns)
-    # dtype-aware convergence floor: a f64-calibrated tol (1e-10) is below
-    # one ulp of the f32 iterate on TPU, so the while_loop would spin its
-    # full max_iter bound (long enough to trip device watchdogs)
-    tol = jnp.maximum(
-        jnp.asarray(tol, returns.dtype), 64.0 * jnp.finfo(returns.dtype).eps
-    )
-    nll = lambda x: _garch_nll(returns, x, p)
-    grad_f = jax.grad(nll)
-    hess_f = jax.hessian(nll)
-    m = 1 + p + q
-    eye = jnp.eye(m, dtype=returns.dtype)
-    floor = eps + 1e-7
-
-    def newton_step(x):
-        g = grad_f(x)
-        h = hess_f(x)
-        h = jnp.where(jnp.isfinite(h), h, 0.0)
-        g = jnp.where(jnp.isfinite(g), g, 0.0)
-
-        def try_solve(mu):
-            L = jnp.linalg.cholesky(h + mu * eye)
-            ok = jnp.all(jnp.isfinite(L))
-            Ls = jnp.where(ok, L, eye)
-            y = jax.scipy.linalg.solve_triangular(Ls, g, lower=True)
-            d = jax.scipy.linalg.solve_triangular(Ls.T, y, lower=False)
-            return ok, -d
-
-        def damp_cond(c):
-            ok, _, mu = c
-            return (~ok) & (mu < 1e6)
-
-        def damp_body(c):
-            _, _, mu = c
-            mu_n = mu * 10.0
-            ok, d = try_solve(mu_n)
-            return ok, d, mu_n
-
-        ok0, d0 = try_solve(1e-10)
-        _, delta, _ = jax.lax.while_loop(
-            damp_cond, damp_body, (ok0, d0, jnp.asarray(1e-10, x.dtype))
-        )
-
-        # backtracking line search (capability fix, documented): halve
-        # until the NLL does not increase, floor applied as in the update
-        f_cur = nll(x)
-
-        def ls_cond(c):
-            t, _ = c
-            worse = nll(jnp.maximum(x + t * delta, floor)) > f_cur
-            return worse & (t > 1e-8)
-
-        def ls_body(c):
-            t, _ = c
-            return t * 0.5, x + t * 0.5 * delta
-
-        t, x_new = jax.lax.while_loop(ls_cond, ls_body, (1.0, x + delta))
-        s = jnp.sum(x_new[1:])
-        x_new = x_new.at[1:].set(
-            jnp.where(s > 1.0, x_new[1:] / s, x_new[1:])
-        )  # renormalize (`opti.py:158-162`)
-        x_new = jnp.maximum(x_new, floor)  # positivity floor (`:165`)
-        # Reject a step the line search could not make an improvement
-        # (t bottomed out at its 1e-8 floor while still worse): keeping it
-        # would drift the converged iterate by ~1e-8 * ||delta|| per
-        # iteration forever and burn max_iter. Convergence is then
-        # measured on the PROJECTED accepted step, so a floor-pinned
-        # coefficient's nonzero raw delta cannot stall termination either.
-        improved = nll(x_new) <= f_cur
-        x_new = jnp.where(improved, x_new, x)
-        step_norm = jnp.linalg.norm(x_new - x)
-        return x_new, step_norm
-
-    def solve_one(x0):
-        def cond(c):
-            _, it, norm = c
-            return (it < max_iter) & (norm >= tol)
-
-        def body(c):
-            x, it, _ = c
-            x_n, norm = newton_step(x)
-            return x_n, it + 1, norm
-
-        x, _, _ = jax.lax.while_loop(
-            cond, body, (x0, 0, jnp.asarray(jnp.inf, x0.dtype))
-        )
-        return x, nll(x)
-
-    return jax.vmap(solve_one)(inits)
-
-
 @functools.partial(jax.jit, static_argnames=("p_max", "q_max", "max_iter"))
 def _newton_garch_batched(returns, inits, masks, extras, p_max, q_max,
                           max_iter, tol, eps):
@@ -176,11 +67,16 @@ def _newton_garch_batched(returns, inits, masks, extras, p_max, q_max,
     inactive coefficients at zero (they contribute nothing to the
     recursion, the gradient, or the projections) and `extras` carries each
     pair's max(p, q) chop of the initial observations
-    (`garch/estimation.py:110-114`) as a traced per-row value. The masked
-    padded solve follows the same Newton trajectory as the exact-shape
-    per-pair solve (`_newton_garch_device`): inactive coordinates have
-    zero gradient/Hessian rows, so the damped-Cholesky step leaves them at
-    zero and the active block sees the identical system.
+    (`garch/estimation.py:110-114`) as a traced per-row value. Inactive
+    coordinates have zero gradient/Hessian rows, so the damped-Cholesky
+    step leaves them at zero and the active block sees the identical
+    system an exact-shape per-pair solve would.
+
+    The Newton step uses damped Cholesky solves (H + mu I, mu escalated
+    until factorization succeeds) + a backtracking line search instead of
+    the reference's `np.linalg.pinv` (`garch/opti.py:150`) — TPU has no
+    f64 SVD, and the damped step is the standard robust alternative; the
+    optimum (where H is PD and mu -> 0) is unchanged.
 
     Replaces the 9-sequential-device-program host loop (each (p, q)
     compiling its own program — the dominant prep cost measured in
@@ -188,7 +84,9 @@ def _newton_garch_batched(returns, inits, masks, extras, p_max, q_max,
     assets of the same length.
     """
     returns = jnp.asarray(returns)
-    # dtype-aware convergence floor (see _newton_garch_device)
+    # dtype-aware convergence floor: a f64-calibrated tol (1e-10) is below
+    # one ulp of the f32 iterate on TPU, so the while_loop would spin its
+    # full max_iter bound (long enough to trip device watchdogs)
     tol = jnp.maximum(
         jnp.asarray(tol, returns.dtype), 64.0 * jnp.finfo(returns.dtype).eps
     )
@@ -269,7 +167,7 @@ def _newton_garch_batched(returns, inits, masks, extras, p_max, q_max,
             )  # renormalize (`opti.py:158-162`)
             x_new = project(x_new)  # positivity floor (`:165`)
             # reject non-improving steps + projected-step convergence
-            # (see _newton_garch_device for the rationale)
+            # (damped-Cholesky rationale: see the function docstring)
             improved = nll(x_new) <= f_cur
             x_new = jnp.where(improved, x_new, x)
             step_norm = jnp.linalg.norm(x_new - x)
