@@ -697,10 +697,7 @@ class VaRBacktest:
                 )
         elif self.engine in ("sharded", "sharded_pallas"):
             if self.data.dim != 2 or not hasattr(self.adapter, "day_tensors"):
-                raise ValueError(
-                    f"engine={self.engine!r} requires dim == 2 and an "
-                    "adapter with a cached-tensor path"
-                )
+                return self._build_sharded_dim3_fn()
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from copula_var_tpu.ops.quadrature import (
@@ -791,6 +788,100 @@ class VaRBacktest:
                 )
         else:
             fn = None
+        self._integral_fn = fn
+        return fn
+
+    def _build_sharded_dim3_fn(self):
+        """dim >= 3 sharded engines (VERDICT r03 task #3).
+
+        engine='sharded' (f64 parity): day-sharded TRANSFORM COLUMNS —
+        each device rebuilds its shard's n^dim densities in bounded day
+        chunks inside `jax.shard_map`
+        (`parallel/quadrature.py::_tcached_solve_program`).
+        engine='sharded_pallas' (f32, dim == 3 only): shard_map of the
+        fused dim-3 Pallas column kernel
+        (`_dim3_pallas_solve_program`). Returns the sweep closure and
+        stashes the placed cache for the bisection methods."""
+        inputs = self.integration_inputs
+        weights = jnp.asarray(self.data.weights)
+        box_min = self.box[0]
+        mesh = self._get_mesh()
+        T = self.data.out_sample_n
+        is_msm = isinstance(inputs, MsmIntegrationInputs)
+        if self.engine == "sharded" and hasattr(self.adapter, "day_columns"):
+            from copula_var_tpu.ops.quadrature import _day_batch
+            from copula_var_tpu.parallel.quadrature import (
+                _tcached_place,
+                sharded_tcached_integrals,
+            )
+
+            cols = self.adapter.day_columns(inputs, self.copula_spec)
+            family = "msm" if is_msm else "garch"
+            fcombos = (
+                jnp.asarray(inputs.forecast_combos) if is_msm else None
+            )
+            densities = inputs.densities if is_msm else None
+            cols_s, fcombos_s, Tp = _tcached_place(
+                mesh, cols, fcombos, family, T
+            )
+            n = int(np.asarray(inputs.x).shape[0])
+            day_batch = _day_batch(
+                n, self.data.dim, Tp // mesh.shape["days"]
+            )
+            self._sharded_tcached = dict(
+                cols_s=cols_s, fcombos_s=fcombos_s, densities=densities,
+                day_batch=day_batch, family=family,
+            )
+            spec = self.copula_spec
+
+            def fn(bounds):
+                return sharded_tcached_integrals(
+                    mesh, bounds, cols_s, fcombos_s, densities, inputs.x,
+                    inputs.dx, weights, spec, family, day_batch, box_min,
+                )
+        elif self.engine == "sharded_pallas" and self.data.dim == 3:
+            from copula_var_tpu.ops.pallas_quadrature3 import (
+                build_garch_dim3_cache,
+                build_msm_dim3_cache,
+            )
+            from copula_var_tpu.parallel.quadrature import (
+                place_dim3_cache,
+                sharded_dim3_pallas_integrals,
+            )
+
+            interpret = jax.devices()[0].platform != "tpu"
+            if is_msm:
+                family = "msm"
+                cache = build_msm_dim3_cache(
+                    inputs.forecasts_by_states, inputs.forecast_combos,
+                    inputs.x, inputs.dx, inputs.densities,
+                    inputs.unique_vols, weights, self.copula_spec,
+                )
+            else:
+                family = "garch"
+                cache = build_garch_dim3_cache(
+                    inputs.forecast_vols, inputs.x, inputs.dx, weights,
+                    self.copula_spec,
+                )
+            day_leaves_s, shared = place_dim3_cache(mesh, cache)
+            kind = self.copula_spec.kind
+            self._sharded_dim3 = dict(
+                day_leaves_s=day_leaves_s, shared=shared, family=family,
+                kind=kind, interpret=interpret,
+            )
+
+            def fn(bounds):
+                return sharded_dim3_pallas_integrals(
+                    mesh, bounds, day_leaves_s, shared, family, kind,
+                    interpret=interpret, box_min=box_min,
+                )
+        else:
+            raise ValueError(
+                f"engine={self.engine!r} requires dim == 2 (cached day "
+                "tensors), dim >= 3 with a transform-column adapter "
+                "(engine='sharded'), or dim == 3 "
+                "(engine='sharded_pallas')"
+            )
         self._integral_fn = fn
         return fn
 
@@ -893,8 +984,8 @@ class VaRBacktest:
         T = self.data.out_sample_n
 
         t0 = time.time()
-        if (self.engine == "sharded_pallas"
-                or (self.engine == "pallas" and self.data.dim == 2)):
+        if (self.engine in ("pallas", "sharded_pallas")
+                and self.data.dim == 2):
             self._cached_integral_fn()  # builds self._cached_tensors
             roots, nan_days = self._solve_fused_full(
                 np.asarray([obj_var], dtype=np.float64), first_guess,
@@ -925,6 +1016,13 @@ class VaRBacktest:
                 obj_var, bis, result_current, upper_stack, prev_upper,
                 tolerance,
             )
+        elif self.engine == "sharded_pallas":
+            # dim 3: day-sharded fused column kernel + SPMD while loop
+            self._cached_integral_fn()
+            final = self._bisection_sharded_dim3_levels(
+                np.asarray([obj_var]), bis[None], result_current[None],
+                upper_stack[None], prev_upper[None], tolerance,
+            )[0]
         elif self._cached_integral_fn() is not None:
             final = self._bisection_device(
                 obj_var, bis, result_current, upper_stack, prev_upper,
@@ -961,8 +1059,8 @@ class VaRBacktest:
         L = obj_vars.shape[0]
 
         t0 = time.time()
-        if (self.engine == "sharded_pallas"
-                or (self.engine == "pallas" and self.data.dim == 2)):
+        if (self.engine in ("pallas", "sharded_pallas")
+                and self.data.dim == 2):
             # fully fused: all L levels' bracketing + bisection, 1 dispatch
             self._cached_integral_fn()  # builds self._cached_tensors
             roots, nd = self._solve_fused_full(
@@ -996,6 +1094,12 @@ class VaRBacktest:
         elif self.engine == "sharded":
             self._cached_integral_fn()  # builds sharded self._cached_tensors
             final = self._bisection_sharded_levels(
+                obj_vars, bis, prev_result, upper_stack, prev_upper,
+                tolerance,
+            )
+        elif self.engine == "sharded_pallas":
+            self._cached_integral_fn()
+            final = self._bisection_sharded_dim3_levels(
                 obj_vars, bis, prev_result, upper_stack, prev_upper,
                 tolerance,
             )
@@ -1071,6 +1175,12 @@ class VaRBacktest:
             sharded_bisection_solve,
         )
 
+        if getattr(self, "_sharded_tcached", None) is not None:
+            return self._bisection_sharded_levels(
+                np.asarray([obj_var]), bisection_bounds[None],
+                prev_result[None], upper_stack[None], prev_upper[None],
+                tolerance,
+            )[0]
         inputs = self.integration_inputs
         is_msm = isinstance(inputs, MsmIntegrationInputs)
         return np.asarray(
@@ -1085,14 +1195,49 @@ class VaRBacktest:
             )
         )
 
+    def _bisection_sharded_dim3_levels(self, obj_vars, bisection_bounds,
+                                       prev_result, upper_stack,
+                                       prev_upper, tolerance):
+        """engine='sharded_pallas' at dim 3: all L levels in one
+        day-sharded SPMD while-loop driving the fused dim-3 Pallas
+        column kernel per shard (`parallel/quadrature.py::
+        _dim3_pallas_solve_program`)."""
+        from copula_var_tpu.parallel.quadrature import (
+            sharded_dim3_pallas_bisection_solve_levels,
+        )
+
+        st = self._sharded_dim3
+        return np.asarray(sharded_dim3_pallas_bisection_solve_levels(
+            self._get_mesh(), st["day_leaves_s"], st["shared"],
+            bisection_bounds[:, :, 0], bisection_bounds[:, :, 1],
+            prev_result, prev_upper, upper_stack, obj_vars, tolerance,
+            st["family"], st["kind"], interpret=st["interpret"],
+            box_min=self.box[0],
+        ))
+
     def _bisection_sharded_levels(self, obj_vars, bisection_bounds,
                                   prev_result, upper_stack, prev_upper,
                                   tolerance):
         """All L confidence levels in one day-sharded SPMD while-loop
-        (`parallel/quadrature.py::sharded_bisection_solve_levels`)."""
+        (`parallel/quadrature.py::sharded_bisection_solve_levels`; the
+        dim >= 3 transform-column variant when the cached-tensor path is
+        unavailable)."""
         from copula_var_tpu.parallel.quadrature import (
             sharded_bisection_solve_levels,
+            sharded_tcached_bisection_solve_levels,
         )
+
+        st = getattr(self, "_sharded_tcached", None)
+        if st is not None:
+            inputs = self.integration_inputs
+            return np.asarray(sharded_tcached_bisection_solve_levels(
+                self._get_mesh(), st["cols_s"], st["fcombos_s"],
+                st["densities"], inputs.x, inputs.dx, self.data.weights,
+                bisection_bounds[:, :, 0], bisection_bounds[:, :, 1],
+                prev_result, prev_upper, upper_stack, obj_vars, tolerance,
+                self.copula_spec, st["family"], st["day_batch"],
+                self.box[0],
+            ))
 
         inputs = self.integration_inputs
         is_msm = isinstance(inputs, MsmIntegrationInputs)

@@ -132,7 +132,9 @@ def from_csv(path, n_insample, weights=None, date_column=None) -> ReturnsData:
     df = pd.read_csv(path)
     if date_column is None:
         for c in df.columns:
-            if not np.issubdtype(df[c].dtype, np.number):
+            # pd.api (not np.issubdtype): pandas extension dtypes
+            # (StringDtype etc.) are not numpy dtypes and would raise
+            if not pd.api.types.is_numeric_dtype(df[c]):
                 date_column = c
                 break
     dates = None

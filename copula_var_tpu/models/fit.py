@@ -407,12 +407,21 @@ def fit_msm(
     b_weight: float = 0.0,
     seed: int = 0,
     bounds=None,
+    reference_quirks: bool = False,
 ) -> MsmFit:
     """Basin-hopping MLE over (m_0, b, gamma), sigma closed-form.
 
     All b-grid starts advance in lockstep: one vmapped likelihood evaluation
     per hop iteration on-device (`opti.py:121-126`'s process pool becomes a
     batch axis).
+
+    reference_quirks=True reproduces the reference's OPTIMIZER TRAJECTORY
+    defects (VERDICT r03 missing #2): the winning start is selected by
+    MINIMUM log-likelihood (`opti.py:125-128` compares the true LL with
+    `<` — a defect; the fixed default selects by max), and the TPU-native
+    L-BFGS polish is skipped (it has no reference counterpart). With
+    basin_iter=0 the whole trajectory is deterministic on both sides,
+    enabling fits-included golden comparison (tests/test_quirk_fits.py).
     """
     returns = np.asarray(returns, dtype=float)
     if b_values is None:
@@ -451,21 +460,22 @@ def fit_msm(
     # round-2 scipy loop paid a tunnel round trip per evaluation). The
     # loss has a stable identity per k (`_msm_polish_loss`) so the
     # program compiles once per k, not once per asset fit.
-    from copula_var_tpu.ops.lbfgs import box_lbfgs_batch
+    if not reference_quirks:
+        from copula_var_tpu.ops.lbfgs import box_lbfgs_batch
 
-    order = np.argsort(cur_nll)[:3]
-    bounds_arr = np.asarray(bounds, dtype=float)
-    xs, fs = box_lbfgs_batch(
-        _msm_polish_loss(k), bounds_arr[:, 0], bounds_arr[:, 1],
-        jnp.asarray(cur[order]), r_dev, jnp.asarray(sample_var),
-        jnp.asarray(float(gamma_weight)), jnp.asarray(float(b_weight)),
-        jnp.asarray(float(n)),
-    )
-    xs, fs = np.asarray(xs), np.asarray(fs)
-    for j, i in enumerate(order):
-        if fs[j] < cur_nll[i]:
-            cur[i] = xs[j]
-            cur_nll[i] = fs[j]
+        order = np.argsort(cur_nll)[:3]
+        bounds_arr = np.asarray(bounds, dtype=float)
+        xs, fs = box_lbfgs_batch(
+            _msm_polish_loss(k), bounds_arr[:, 0], bounds_arr[:, 1],
+            jnp.asarray(cur[order]), r_dev, jnp.asarray(sample_var),
+            jnp.asarray(float(gamma_weight)), jnp.asarray(float(b_weight)),
+            jnp.asarray(float(n)),
+        )
+        xs, fs = np.asarray(xs), np.asarray(fs)
+        for j, i in enumerate(order):
+            if fs[j] < cur_nll[i]:
+                cur[i] = xs[j]
+                cur_nll[i] = fs[j]
 
     # final true log-likelihood (no regularization), best start by MAX LL
     # (the reference's min-selection at `opti.py:125-128` is a defect)
@@ -482,7 +492,8 @@ def fit_msm(
             for i in range(n_starts)
         ]
     )
-    i = int(np.argmax(final_ll))
+    # selection: max LL (fixed) / min LL (the reference defect, quirks)
+    i = int(np.argmin(final_ll) if reference_quirks else np.argmax(final_ll))
     m0, b, gm = cur[i]
     return MsmFit(float(m0), float(b), float(gm),
                   float(estimate_sigma(sample_var, m0, k)), float(final_ll[i]))
@@ -510,6 +521,7 @@ def fit_ukf_em(
     perturb_scale: float = 0.05,
     restart_attempts: int = 5,
     seed: int = 0,
+    reference_quirks: bool = False,
 ) -> UkfFit:
     """EM over (a, l, q) (`kalman_mean_reverting/optimize.py:78-167`):
     E-step = UKF run with init (l, q); M-step: q = std(state) sqrt(1-a^2),
@@ -534,6 +546,7 @@ def fit_ukf_em(
     best_p, best_ll = _ukf_em_device(
         jnp.asarray(returns), a0, l0, q0, tol, perturb_scale,
         jax.random.PRNGKey(seed), max_iter, restart_attempts,
+        bool(reference_quirks),
     )
     best_p = np.asarray(best_p)
     return UkfFit(
@@ -542,10 +555,10 @@ def fit_ukf_em(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iter", "restart_attempts")
+    jax.jit, static_argnames=("max_iter", "restart_attempts", "quirks")
 )
 def _ukf_em_device(returns, a0, l0, q0, tol, perturb_scale, key, max_iter,
-                   restart_attempts):
+                   restart_attempts, quirks=False):
     """The ENTIRE EM loop — E-step filter, closed-form M-steps, rejection
     perturbation, convergence + restart sweep — as one `lax.while_loop`
     device program (one dispatch per fit instead of one per EM iteration;
@@ -613,7 +626,11 @@ def _ukf_em_device(returns, a0, l0, q0, tol, perturb_scale, key, max_iter,
     def on_update(params, best_ll, best_p, key, state, ll):
         bl = jnp.maximum(best_ll, ll)
         bp = jnp.where(ll > best_ll, params, best_p)
-        a = params[0]
+        # frozen-a quirk (`optimize.py:83-84`): the reference's M-step
+        # anchors q/l and the OLS shift to the INITIAL a0 forever (its
+        # local `a` is assigned once before the loop and never updated);
+        # the fixed default (textbook EM) uses the current iterate's a
+        a = jnp.asarray(a0, dt) if quirks else params[0]
         q_new = jnp.std(state) * jnp.sqrt(1.0 - a * a)
         l_new = q_new * q_new / (2.0 * (1.0 - a * a))
         shifted = state - a * l_new

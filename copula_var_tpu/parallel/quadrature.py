@@ -507,3 +507,324 @@ def _chunk_copula_from_transformed(c0, c1, spec: CopulaSpec):
         return jnp.where(finite, ratio, jnp.nan)
 
     raise ValueError(f"unknown copula kind: {spec.kind}")
+
+
+# ---------------------------------------------------------------------------
+# dim >= 3: day-sharded transform-column (tcached) engine
+#
+# The dim-2 sharded engines cache (T, n, n) copula-density day tensors; at
+# dim >= 3 those would be (T, n^dim) — so the sharded dim-3 path mirrors
+# the single-chip tcached engine instead: each device holds its day
+# shard's TRANSFORM COLUMNS (the ppf work, (T/D, dim, n)) and rebuilds the
+# n^dim density in bounded day chunks (`ops/quadrature.py::_msm_tcached`)
+# inside `jax.shard_map`. Days are independent, so the quadrature needs no
+# collectives; the bisection's convergence test and all-zeros early break
+# are global scalar reductions (pmax/pmin over ICI) — the only
+# cross-device traffic per iteration (VERDICT r03 task #3).
+# ---------------------------------------------------------------------------
+
+
+def _tcached_integral_fn(family, kind, day_batch, box_min, cols, fcombos,
+                         densities, x, dx, weights, params):
+    from copula_var_tpu.ops.quadrature import _garch_tcached, _msm_tcached
+
+    if family == "msm":
+        return lambda b: _msm_tcached(
+            b, cols, fcombos, x, dx, densities, weights, box_min, kind,
+            params, day_batch,
+        )
+    tcols, p_cols = cols
+    return lambda b: _garch_tcached(
+        b, tcols, p_cols, x, dx, weights, box_min, kind, params, day_batch,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _tcached_sweep_program(mesh, family, kind, day_batch, box_min):
+    """One day-sharded transform-column quadrature sweep (the bracketing
+    stages' `compute_integral`), stable-identity per config."""
+
+    def local(bounds, cols, fcombos, densities, x, dx, weights, params):
+        fn = _tcached_integral_fn(family, kind, day_batch, box_min, cols,
+                                  fcombos, densities, x, dx, weights,
+                                  params)
+        return fn(bounds)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("days"), P("days"), P("days"), P(), P(), P(), P(), P()),
+        out_specs=P("days"),
+        check_vma=False,
+    ))
+
+
+def _spmd_bisection_levels(integral, state0, obj, tol):
+    """Multi-level bisection body shared by the day-sharded dim >= 3
+    programs, with GLOBAL convergence + all-zeros-break reductions
+    (pmax/pmin over the 'days' mesh axis).
+
+    Exact trip-count parity with the single-device solver
+    (`backtest._device_bisection_levels_jit`): the loop carries a global
+    `done` flag computed with the SAME convergence predicate (reduced
+    over shards with pmax), so a shard whose days converged early keeps
+    lockstep with the others without perturbing its frozen state."""
+
+    def gany(flag):  # global any() across day shards -> scalar bool
+        return jax.lax.pmax(flag.astype(jnp.int32), "days") > 0
+
+    def gall(v):  # global all() along days, per level -> (L,) bool
+        return jax.lax.pmin(v.astype(jnp.int32), "days") > 0
+
+    obj2 = obj[:, None]
+
+    def live(st):
+        lo, up, _, _, _, brk = st
+        return gany(jnp.any((up - lo > tol) & ~brk[:, None]))
+
+    def body_once(st):
+        lo, up, pr, pu, us, brk = st
+        mid = (lo + up) / 2.0
+        b_lo = jnp.where(us, lo, mid)
+        b_up = jnp.where(us, mid, up)
+        bounds = jnp.stack((b_lo, b_up), axis=-1)  # (L, T_loc, 2)
+        mid_result = jax.vmap(integral)(bounds)
+        add = b_lo == pu
+        result = jnp.where(add, pr + mid_result, pr - mid_result)
+        zero = gall(jnp.all(result == 0.0, axis=1))  # (L,) global
+        us_n = result < obj2
+        lo_n = jnp.where(~us_n, lo, mid)
+        up_n = jnp.where(us_n, up, mid)
+        frozen = (zero | brk)[:, None]
+        keep = lambda new, old: jnp.where(frozen, old, new)
+        return (
+            keep(lo_n, lo), keep(up_n, up), keep(result, pr),
+            keep(mid, pu), keep(us_n, us), brk | zero,
+        )
+
+    L = state0[0].shape[0]
+    st0 = state0 + (jnp.zeros((L,), dtype=bool),)
+    carry0 = (st0, ~live(st0))
+
+    def cond(c):
+        return ~c[1]
+
+    def body(c):
+        st, _ = c
+        st_n = body_once(st)
+        return st_n, ~live(st_n)
+
+    st, _ = jax.lax.while_loop(cond, body, carry0)
+    return (st[0] + st[1]) / 2.0
+
+
+@functools.lru_cache(maxsize=32)
+def _tcached_solve_program(mesh, family, kind, day_batch, box_min):
+    """Day-sharded multi-level bisection over transform columns (f64
+    parity engine for dim >= 3)."""
+
+    def local(state0, cols, fcombos, densities, x, dx, weights, params,
+              obj, tol):
+        integral = _tcached_integral_fn(family, kind, day_batch, box_min,
+                                        cols, fcombos, densities, x, dx,
+                                        weights, params)
+        return _spmd_bisection_levels(integral, state0, obj, tol)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "days"), P("days"), P("days"), P(), P(), P(),
+                  P(), P(), P(), P()),
+        out_specs=P(None, "days"),
+        check_vma=False,
+    ))
+
+
+@functools.lru_cache(maxsize=32)
+def _dim3_pallas_solve_program(mesh, family, kind, interpret, box_min):
+    """Day-sharded multi-level bisection driving the FUSED dim-3 Pallas
+    column kernel (`ops/pallas_quadrature3.py`) on each device's day
+    shard — the pod-scale f32 engine for three-asset portfolios.
+    day_leaves = the Dim3Cache per-day arrays (z, f, lu, p, g), sharded;
+    shared_leaves = (x, w1, w2, consts, weights), replicated."""
+
+    def local(state0, day_leaves, shared_leaves, obj, tol):
+        from copula_var_tpu.ops.pallas_quadrature3 import (
+            Dim3Cache,
+            dim3_integrals_pallas,
+        )
+
+        z, fin, lu, p, g = day_leaves
+        x, w1, w2, consts, weights = shared_leaves
+        cache = Dim3Cache(x, z, fin, lu, p, w1, w2, g, consts, weights)
+        integral = lambda b: dim3_integrals_pallas(
+            b, cache, family=family, kind=kind, interpret=interpret,
+            box_min=box_min,
+        )
+        return _spmd_bisection_levels(integral, state0, obj, tol)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "days"), P("days"), P(), P(), P()),
+        out_specs=P(None, "days"),
+        check_vma=False,
+    ))
+
+
+@functools.lru_cache(maxsize=32)
+def _dim3_pallas_sweep_program(mesh, family, kind, interpret, box_min):
+    """One day-sharded dim-3 Pallas quadrature sweep (bracketing stages
+    of the sharded_pallas dim-3 engine)."""
+
+    def local(bounds, day_leaves, shared_leaves):
+        from copula_var_tpu.ops.pallas_quadrature3 import (
+            Dim3Cache,
+            dim3_integrals_pallas,
+        )
+
+        z, fin, lu, p, g = day_leaves
+        x, w1, w2, consts, weights = shared_leaves
+        cache = Dim3Cache(x, z, fin, lu, p, w1, w2, g, consts, weights)
+        return dim3_integrals_pallas(
+            bounds, cache, family=family, kind=kind, interpret=interpret,
+            box_min=box_min,
+        )
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("days"), P("days"), P()),
+        out_specs=P("days"),
+        check_vma=False,
+    ))
+
+
+def sharded_dim3_pallas_integrals(mesh, bounds, day_leaves_s, shared_leaves,
+                                  family, kind, interpret=False,
+                                  box_min=-5.0):
+    """(T,) dim-3 Pallas integrals with the day axis sharded over `mesh`
+    (day_leaves_s already placed via `place_dim3_cache`)."""
+    from copula_var_tpu.parallel.multiprocess import fetch, put_global
+
+    d = NamedSharding(mesh, P("days"))
+    n_dev = mesh.shape["days"]
+    T = jnp.asarray(bounds).shape[0]
+    b_s = put_global(pad_days(jnp.asarray(bounds), n_dev), d)
+    f = _dim3_pallas_sweep_program(mesh, family, kind, bool(interpret),
+                                   float(box_min))
+    return fetch(f(b_s, day_leaves_s, shared_leaves))[:T]
+
+
+def place_dim3_cache(mesh, cache):
+    """Split a Dim3Cache into (day_leaves sharded on 'days',
+    shared_leaves replicated) for the sharded_pallas dim-3 programs."""
+    from copula_var_tpu.parallel.multiprocess import put_global
+
+    d = NamedSharding(mesh, P("days"))
+    n_dev = mesh.shape["days"]
+    day_leaves = tuple(
+        put_global(pad_days(jnp.asarray(a), n_dev), d)
+        for a in (cache.z, cache.f, cache.lu, cache.p, cache.g)
+    )
+    shared = tuple(
+        jnp.asarray(a)
+        for a in (cache.x, cache.w1, cache.w2, cache.consts, cache.weights)
+    )
+    return day_leaves, shared
+
+
+def sharded_dim3_pallas_bisection_solve_levels(
+    mesh, day_leaves_s, shared_leaves, lower, upper, prev_result,
+    prev_upper, upper_stack, obj_vars, tolerance, family, kind,
+    interpret=False, box_min=-5.0,
+):
+    """(L, T) production bisection, day-sharded, dim-3 Pallas engine."""
+    from copula_var_tpu.parallel.multiprocess import fetch, put_global
+
+    ld = NamedSharding(mesh, P(None, "days"))
+    n_dev = mesh.shape["days"]
+    lower = jnp.atleast_2d(jnp.asarray(lower))
+    T = lower.shape[1]
+    dt = jnp.zeros(()).dtype
+    state0 = tuple(
+        put_global(pad_days(jnp.asarray(a, dtype=dt), n_dev, axis=1), ld)
+        for a in (lower, upper, prev_result, prev_upper)
+    ) + (
+        put_global(
+            pad_days(jnp.asarray(upper_stack, dtype=bool), n_dev, axis=1),
+            ld,
+        ),
+    )
+    f = _dim3_pallas_solve_program(mesh, family, kind, bool(interpret),
+                                   float(box_min))
+    roots = f(state0, day_leaves_s, shared_leaves,
+              jnp.asarray(obj_vars, dtype=dt),
+              jnp.asarray(tolerance, dtype=dt))
+    return fetch(roots)[:, :T]
+
+
+def _tcached_place(mesh, cols, fcombos, family, T):
+    """Pad + day-shard the transform columns (pytree leaves, axis 0) and
+    the combo weights; returns (cols_s, fcombos_s, Tp)."""
+    from copula_var_tpu.parallel.multiprocess import put_global
+
+    d = NamedSharding(mesh, P("days"))
+    n_dev = mesh.shape["days"]
+    Tp = T + ((-T) % n_dev)
+    pad = lambda a: pad_days(a, n_dev)
+    cols_s = jax.tree.map(lambda a: put_global(pad(a), d), cols)
+    if fcombos is None:  # garch family: unused placeholder, still sharded
+        fcombos_s = put_global(jnp.zeros((Tp, 1)), d)
+    else:
+        fcombos_s = put_global(pad(jnp.asarray(fcombos)), d)
+    return cols_s, fcombos_s, Tp
+
+
+def sharded_tcached_integrals(mesh, bounds, cols_s, fcombos_s, densities,
+                              x, dx, weights, spec: CopulaSpec, family,
+                              day_batch, box_min=-5.0):
+    """(T,) transform-column integrals with the day axis sharded over
+    `mesh` (cols_s/fcombos_s already placed via `_tcached_place`)."""
+    from copula_var_tpu.parallel.multiprocess import fetch, put_global
+
+    d = NamedSharding(mesh, P("days"))
+    n_dev = mesh.shape["days"]
+    T = jnp.asarray(bounds).shape[0]
+    b_s = put_global(pad_days(jnp.asarray(bounds), n_dev), d)
+    dens = jnp.zeros(()) if densities is None else jnp.asarray(densities)
+    f = _tcached_sweep_program(mesh, family, spec.kind, int(day_batch),
+                               float(box_min))
+    out = f(b_s, cols_s, fcombos_s, dens, jnp.asarray(x), jnp.asarray(dx),
+            jnp.asarray(weights), spec.params)
+    return fetch(out)[:T]
+
+
+def sharded_tcached_bisection_solve_levels(
+    mesh, cols_s, fcombos_s, densities, x, dx, weights, lower, upper,
+    prev_result, prev_upper, upper_stack, obj_vars, tolerance,
+    spec: CopulaSpec, family, day_batch, box_min=-5.0,
+):
+    """(L, T) production bisection, day-sharded, dim >= 3 (transform
+    columns). State arrays are (L, T); returns host (L, T) roots."""
+    from copula_var_tpu.parallel.multiprocess import fetch, put_global
+
+    ld = NamedSharding(mesh, P(None, "days"))
+    n_dev = mesh.shape["days"]
+    lower = jnp.atleast_2d(jnp.asarray(lower))
+    T = lower.shape[1]
+    dt = jnp.zeros(()).dtype
+    state0 = tuple(
+        put_global(pad_days(jnp.asarray(a, dtype=dt), n_dev, axis=1), ld)
+        for a in (lower, upper, prev_result, prev_upper)
+    ) + (
+        put_global(
+            pad_days(jnp.asarray(upper_stack, dtype=bool), n_dev, axis=1),
+            ld,
+        ),
+    )
+    dens = jnp.zeros(()) if densities is None else jnp.asarray(densities)
+    f = _tcached_solve_program(mesh, family, spec.kind, int(day_batch),
+                               float(box_min))
+    roots = f(
+        state0, cols_s, fcombos_s, dens, jnp.asarray(x), jnp.asarray(dx),
+        jnp.asarray(weights), spec.params,
+        jnp.asarray(obj_vars, dtype=dt), jnp.asarray(tolerance, dtype=dt),
+    )
+    return fetch(roots)[:, :T]

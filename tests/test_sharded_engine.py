@@ -12,8 +12,10 @@ orchestrator semantics as `calc_var_class.py:95-177,250-309`.
 import numpy as np
 import pytest
 
-from copula_var_tpu.backtest import GarchAdapter, MsmAdapter, VaRBacktest
+from copula_var_tpu.backtest import (GarchAdapter, MsmAdapter, VaRBacktest,
+                                     create_var_backtest)
 from copula_var_tpu.copulas.fit import GaussianFit, StudentFit
+from copula_var_tpu.data import returns as returns_mod
 from copula_var_tpu.data.returns import from_returns
 from copula_var_tpu.models.fit import GarchFit, MsmFit
 from copula_var_tpu.parallel import make_mesh
@@ -148,3 +150,73 @@ def test_sharded_pallas_engine_levels_uneven(rng):
     ).calc_var_levels(levels)
     assert got.shape == (2, 13)
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-2)
+
+
+def test_sharded_engine_dim3_matches_xla(rng):
+    """VERDICT r03 task #3: engine='sharded' at dim 3 — day-sharded
+    transform columns rebuilt in bounded chunks per shard — equals the
+    single-device tcached engine at f64 exactness on the 8-device mesh
+    (identical per-day math + identical while-loop trajectory via the
+    carried global-done flag)."""
+    n_total, N = 150, 120
+    rets = rng.standard_normal((n_total, 3)) * (
+        1.0 + 0.4 * np.abs(np.sin(np.arange(n_total) / 13.0))[:, None]
+    )
+    data = returns_mod.from_returns(
+        rets, n_insample=N, weights=np.array([0.4, 0.3, 0.3])
+    )
+    bt_x = create_var_backtest(data, "garch", "gaussian", num_points=20,
+                               engine="xla", p_max=1, q_max=1)
+    v_x = bt_x.calc_var()
+    bt_s = create_var_backtest(data, "garch", "gaussian", num_points=20,
+                               engine="sharded", p_max=1, q_max=1,
+                               model_fits_override=bt_x.model_fits,
+                               copula_fit_override=bt_x.copula_fit)
+    v_s = bt_s.calc_var()
+    np.testing.assert_allclose(v_s, v_x, atol=1e-12)
+    lv_x = bt_x.calc_var_levels([0.01, 0.05])
+    lv_s = bt_s.calc_var_levels([0.01, 0.05])
+    np.testing.assert_allclose(lv_s, lv_x, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_sharded_engine_dim3_msm_student(rng):
+    """3-asset MSM + Student through the sharded transform-column engine."""
+    n_total, N = 150, 120
+    rets = rng.standard_normal((n_total, 3)) * (
+        1.0 + 0.4 * np.abs(np.sin(np.arange(n_total) / 13.0))[:, None]
+    )
+    data = returns_mod.from_returns(
+        rets, n_insample=N, weights=np.array([0.4, 0.3, 0.3])
+    )
+    bt_x = create_var_backtest(data, "msm", "student", num_points=20,
+                               engine="xla", k=2, basin_iter=5)
+    v_x = bt_x.calc_var()
+    bt_s = create_var_backtest(data, "msm", "student", num_points=20,
+                               engine="sharded", k=2,
+                               model_fits_override=bt_x.model_fits,
+                               copula_fit_override=bt_x.copula_fit)
+    np.testing.assert_allclose(bt_s.calc_var(), v_x, atol=1e-12)
+
+
+def test_sharded_pallas_engine_dim3(rng):
+    """engine='sharded_pallas' at dim 3: shard_map of the fused dim-3
+    Pallas column kernel. In interpret mode (CPU mesh) numerics are
+    schedule-independent -> exact match with the single-chip dim-3
+    pallas engine."""
+    n_total, N = 150, 120
+    rets = rng.standard_normal((n_total, 3)) * (
+        1.0 + 0.4 * np.abs(np.sin(np.arange(n_total) / 13.0))[:, None]
+    )
+    data = returns_mod.from_returns(
+        rets, n_insample=N, weights=np.array([0.4, 0.3, 0.3])
+    )
+    bt_p = create_var_backtest(data, "garch", "gaussian", num_points=20,
+                               engine="pallas", p_max=1, q_max=1)
+    v_p = bt_p.calc_var()
+    bt_sp = create_var_backtest(data, "garch", "gaussian", num_points=20,
+                                engine="sharded_pallas", p_max=1, q_max=1,
+                                model_fits_override=bt_p.model_fits,
+                                copula_fit_override=bt_p.copula_fit)
+    v_sp = bt_sp.calc_var()
+    np.testing.assert_allclose(v_sp, v_p, atol=1e-6)
