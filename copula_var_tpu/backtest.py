@@ -94,6 +94,31 @@ def _call_integral_kernel(kernel_id, bounds, aux):
             bounds, cols, p_cols, x, dx, weights, box_min, copula_kind,
             params, day_batch,
         )
+    if kind == "grid_msm":
+        from copula_var_tpu.ops.quadrature import CopulaSpec
+        from copula_var_tpu.parallel.quadrature import (
+            grid_sharded_msm_sweep,
+        )
+
+        _, mesh, copula_kind, day_axis, box_min = kernel_id
+        t0, t1, w0, w1, fcombos, x, weights, params = aux
+        return grid_sharded_msm_sweep(
+            mesh, bounds, t0, t1, w0, w1, fcombos, x, weights,
+            CopulaSpec(copula_kind, params), day_axis=day_axis,
+            box_min=box_min,
+        )
+    if kind == "grid_garch":
+        from copula_var_tpu.ops.quadrature import CopulaSpec
+        from copula_var_tpu.parallel.quadrature import (
+            grid_sharded_garch_sweep,
+        )
+
+        _, mesh, copula_kind, box_min = kernel_id
+        t0, p0, t1, p1, x, dx, weights, params = aux
+        return grid_sharded_garch_sweep(
+            mesh, bounds, t0, p0, t1, p1, x, dx, weights,
+            CopulaSpec(copula_kind, params), box_min=box_min,
+        )
     if kind == "dim3_pallas":
         from copula_var_tpu.ops.pallas_quadrature3 import (
             Dim3Cache,
@@ -616,12 +641,19 @@ class VaRBacktest:
     # -- CDF evaluator ----------------------------------------------------
 
     def _get_mesh(self):
-        """Mesh for engine='sharded': the user-provided one, else a 1-D
-        'days' mesh over all visible devices."""
+        """Mesh for the sharded engines: the user-provided one, else a
+        1-D 'days' mesh over all visible devices (engine='grid_sharded'
+        defaults to a (1, D) ('days', 'grid') mesh — all devices on the
+        grid axis)."""
         if self.mesh is None:
             from copula_var_tpu.parallel.mesh import make_mesh
 
-            self.mesh = make_mesh()
+            if self.engine == "grid_sharded":
+                n_dev = len(jax.devices())
+                self.mesh = make_mesh(axis_names=("days", "grid"),
+                                      shape=(1, n_dev))
+            else:
+                self.mesh = make_mesh()
         return self.mesh
 
     def _cached_integral_fn(self):
@@ -695,6 +727,8 @@ class VaRBacktest:
                     "engine='pallas' requires dim in {2, 3} and an adapter "
                     "with a Pallas/cached-columns path"
                 )
+        elif self.engine == "grid_sharded":
+            return self._build_grid_sharded_fn()
         elif self.engine in ("sharded", "sharded_pallas"):
             if self.data.dim != 2 or not hasattr(self.adapter, "day_tensors"):
                 return self._build_sharded_dim3_fn()
@@ -882,6 +916,75 @@ class VaRBacktest:
                 "(engine='sharded'), or dim == 3 "
                 "(engine='sharded_pallas')"
             )
+        self._integral_fn = fn
+        return fn
+
+    def _build_grid_sharded_fn(self):
+        """engine='grid_sharded' (r03 weak #7 closed): the OUTER grid
+        dimension shards over the mesh's 'grid' axis — each device holds
+        num_points/D coordinate rows of every day's masked sandwich and
+        the (q, q) partials psum-reduce over ICI
+        (`parallel/quadrature.py::grid_sharded_*_sweep`). With a 2-D
+        ('days', 'grid') mesh the days shard simultaneously — the
+        "single huge integral across a pod slice" scaling axis, now a
+        product engine rather than a tests-only demo. dim == 2;
+        num_points must divide the grid axis. Transforms (all t_ppf
+        work) are built ONCE; the bisection runs through the
+        stable-identity while-loop program."""
+        inputs = self.integration_inputs
+        if self.data.dim != 2:
+            raise ValueError("engine='grid_sharded' requires dim == 2")
+        from copula_var_tpu.parallel.quadrature import (
+            grid_sharded_garch_transforms,
+            grid_sharded_msm_transforms,
+        )
+
+        weights = jnp.asarray(self.data.weights)
+        box_min = self.box[0]
+        mesh = self._get_mesh()
+        if "grid" not in mesh.axis_names:
+            raise ValueError(
+                "engine='grid_sharded' needs a mesh with a 'grid' axis "
+                "(e.g. make_mesh(axis_names=('days', 'grid'), "
+                "shape=(1, n_dev)))"
+            )
+        n = int(np.asarray(inputs.x).shape[0])
+        if n % mesh.shape["grid"]:
+            raise ValueError(
+                f"num_points {n} not divisible by the mesh's "
+                f"{mesh.shape['grid']}-device grid axis"
+            )
+        T = self.data.out_sample_n
+        kind = self.copula_spec.kind
+        params = self.copula_spec.params
+        if isinstance(inputs, MsmIntegrationInputs):
+            t0, t1, w0, w1 = grid_sharded_msm_transforms(
+                inputs.forecasts_by_states, inputs.x, inputs.dx,
+                inputs.densities, inputs.unique_vols, self.copula_spec,
+            )
+            day_axis = (
+                "days"
+                if "days" in mesh.axis_names and mesh.shape["days"] > 1
+                and T % mesh.shape["days"] == 0
+                else None
+            )
+            kernel_id = ("grid_msm", mesh, kind, day_axis, box_min)
+            aux = (t0, t1, w0, w1,
+                   jnp.asarray(inputs.forecast_combos),
+                   jnp.asarray(inputs.x), weights, params)
+        else:
+            t0, p0, t1, p1 = grid_sharded_garch_transforms(
+                inputs.forecast_vols, inputs.x, self.copula_spec
+            )
+            kernel_id = ("grid_garch", mesh, kind, box_min)
+            aux = (t0, p0, t1, p1, jnp.asarray(inputs.x),
+                   jnp.asarray(inputs.dx), weights, params)
+        self._integral_kernel = (kernel_id, aux)
+
+        def fn(bounds):
+            return _call_integral_kernel(kernel_id, jnp.asarray(bounds),
+                                         aux)
+
         self._integral_fn = fn
         return fn
 
@@ -1463,6 +1566,7 @@ def create_var_backtest(
     copula_fit_kwargs: Optional[dict] = None,
     engine: str = "xla",
     pallas_day_block: int = 32,
+    mesh: Optional[object] = None,
     model_fits_override: Optional[list] = None,
     copula_fit_override: Optional[object] = None,
     **adapter_kwargs,
@@ -1483,5 +1587,5 @@ def create_var_backtest(
     return VaRBacktest(data, adapter, copula_type, num_points=num_points,
                        box=box, copula_fit_kwargs=copula_fit_kwargs,
                        engine=engine, pallas_day_block=pallas_day_block,
-                       model_fits_override=model_fits_override,
+                       mesh=mesh, model_fits_override=model_fits_override,
                        copula_fit_override=copula_fit_override)

@@ -96,10 +96,13 @@ class BacktestConfig:
     n_insample: int = 1135
     num_points: int = 100
     # 'xla' (f64-capable) | 'pallas' (fused f32 TPU kernel, dim 2-3) |
-    # 'sharded' (day-sharded SPMD over the device mesh) |
-    # 'sharded_pallas' (shard_map of the fused kernel over the mesh)
+    # 'sharded' (day-sharded SPMD over the device mesh, any dim) |
+    # 'sharded_pallas' (shard_map of the fused kernel over the mesh) |
+    # 'grid_sharded' (outer grid dim sharded, psum partials over ICI —
+    # scales ONE huge integral across a pod slice; dim 2)
     engine: str = "xla"
-    # engine='sharded'/'sharded_pallas': mesh size (None = all devices)
+    # engine='sharded'/'sharded_pallas'/'grid_sharded': mesh size
+    # (None = all devices)
     n_mesh_devices: Optional[int] = None
     # engine='pallas': days per kernel program (see VaRBacktest.pallas_day_block)
     pallas_day_block: int = 32
@@ -189,10 +192,17 @@ def run_backtest(data, cfg: BacktestConfig):
         pallas_day_block=cfg.pallas_day_block,
         **adapter_kwargs(cfg),
     )
-    if cfg.engine in ("sharded", "sharded_pallas") and cfg.n_mesh_devices is not None:
-        from copula_var_tpu.parallel import make_mesh
+    if cfg.n_mesh_devices is not None:
+        if cfg.engine == "grid_sharded":
+            from copula_var_tpu.parallel import make_mesh
 
-        bt.mesh = make_mesh(n_devices=cfg.n_mesh_devices)
+            bt.mesh = make_mesh(n_devices=cfg.n_mesh_devices,
+                                axis_names=("days", "grid"),
+                                shape=(1, cfg.n_mesh_devices))
+        elif cfg.engine in ("sharded", "sharded_pallas"):
+            from copula_var_tpu.parallel import make_mesh
+
+            bt.mesh = make_mesh(n_devices=cfg.n_mesh_devices)
     common = dict(
         first_guess=cfg.solver.first_guess,
         second_guess=cfg.solver.second_guess,

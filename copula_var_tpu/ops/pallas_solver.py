@@ -57,6 +57,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def root_plateau_bound(dx, weights, n_cells=1):
+    """Derived cross-engine accuracy contract of the f32 fused engines.
+
+    The masked-grid CDF is a STEP function of the VaR bound v: the mask's
+    inner-coordinate cut moves by one grid cell when v moves by
+    cell_width x weights[0], so when |F - obj_var| at a step is below f32
+    resolution the f32 kernel may resolve the root to a different edge of
+    the same (or an adjacent) plateau than the f64 engine. The worst-case
+    disagreement is therefore `n_cells x max(dx) x |weights[0]|` (the
+    docstring bound at the top of this module, now computable per config
+    instead of hard-coded in tests). Typical disagreement is set by the
+    cell widths NEAR the root (the fine interior region of the
+    non-uniform grid) — use `np.median(dx)` for a sensitivity check.
+    """
+    return float(
+        n_cells * np.max(np.asarray(dx)) * abs(float(np.asarray(weights)[0]))
+    )
+
+
 def _lane_round(n):
     """Round up to the 128-lane tile width.
 

@@ -326,12 +326,35 @@ def grid_sharded_garch_integrals(mesh: Mesh, bounds, forecast_vols, x, dx,
     # ppf's internal while_loop does not trace under manual sharding with
     # mixed varying axes, and hoisting it is cheaper anyway: dim * n
     # transforms per day instead of per chunk).
+    t0, p0, t1, p1 = grid_sharded_garch_transforms(forecast_vols, x, spec)
+    return grid_sharded_garch_sweep(
+        mesh, bounds, t0, p0, t1, p1, x, dx, weights, spec, grid_axis=axis
+    )
+
+
+def grid_sharded_garch_transforms(forecast_vols, x, spec: CopulaSpec):
+    """Bounds-invariant prep for the grid-sharded GARCH/MR sweep: the
+    per-day CDF copula pre-transforms and pdf columns (build once per
+    backtest; every sweep of a solve reuses them)."""
+    x = jnp.asarray(x)
+    forecast_vols = jnp.asarray(forecast_vols)
     u0 = norm_cdf(x[None, :] / forecast_vols[:, 0:1])  # (T, n)
     u1 = norm_cdf(x[None, :] / forecast_vols[:, 1:2])
     p0 = norm_pdf(x[None, :] / forecast_vols[:, 0:1]) / forecast_vols[:, 0:1]
     p1 = norm_pdf(x[None, :] / forecast_vols[:, 1:2]) / forecast_vols[:, 1:2]
-    t0 = _transform_columns(u0, spec)
-    t1 = _transform_columns(u1, spec)
+    return _transform_columns(u0, spec), p0, _transform_columns(u1, spec), p1
+
+
+def grid_sharded_garch_sweep(mesh, bounds, t0, p0, t1, p1, x, dx, weights,
+                             spec: CopulaSpec, grid_axis="grid",
+                             box_min=-5.0):
+    """(T,) GARCH/MR integrals from prebuilt transforms, outer grid
+    dimension sharded over `mesh`. Traceable (usable inside a jitted
+    while-loop bisection)."""
+    bounds = jnp.asarray(bounds)
+    x = jnp.asarray(x)
+    dx = jnp.asarray(dx)
+    weights = jnp.asarray(weights)
 
     def shard_fn(b, t0_chunk, p0_chunk, t1_full, p1_full, x0_chunk, dx0_chunk):
         def partial_day(bi, c0, pc0, c1, pc1):
@@ -339,28 +362,29 @@ def grid_sharded_garch_integrals(mesh: Mesh, bounds, forecast_vols, x, dx,
             V = jnp.nan_to_num(C * (pc0[:, None] * pc1[None, :]))
             dyn_up = (bi[1] - x0_chunk * weights[1]) / weights[0]
             dyn_lo = jnp.maximum(
-                (bi[0] - x0_chunk * weights[1]) / weights[0], -5.0
+                (bi[0] - x0_chunk * weights[1]) / weights[0], box_min
             )
             M = (x[None, :] > dyn_lo[:, None]) & (x[None, :] <= dyn_up[:, None])
             V = jnp.where(M, V, 0.0)
             return jnp.einsum("i,ij,j->", dx0_chunk, V, dx)
 
         part = jax.vmap(partial_day)(b, t0_chunk, p0_chunk, t1_full, p1_full)
-        return jax.lax.psum(part, axis)
+        return jax.lax.psum(part, grid_axis)
 
     f = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(
             P(),
-            P(None, axis),
-            P(None, axis),
+            P(None, grid_axis),
+            P(None, grid_axis),
             P(),
             P(),
-            P(axis),
-            P(axis),
+            P(grid_axis),
+            P(grid_axis),
         ),
         out_specs=P(),
+        check_vma=False,
     )
     return f(bounds, t0, p0, t1, p1, x, dx)
 
@@ -402,6 +426,26 @@ def grid_sharded_msm_integrals(mesh: Mesh, bounds, fbs, fcombos, x, dx,
 
     # per-day mixture CDFs and copula pre-transforms (the t_ppf work)
     # hoisted OUTSIDE shard_map, per dim: (T, n)
+    t0, t1, w0, w1 = grid_sharded_msm_transforms(
+        fbs, x, dx, densities, unique_vols, spec
+    )
+    return grid_sharded_msm_sweep(
+        mesh, bounds, t0, t1, w0, w1, fcombos, x, weights, spec,
+        grid_axis=grid_axis, day_axis=day_axis,
+    )
+
+
+def grid_sharded_msm_transforms(fbs, x, dx, densities, unique_vols,
+                                spec: CopulaSpec):
+    """Bounds-invariant prep for the grid-sharded MSM sweep: per-day
+    mixture-CDF copula pre-transforms (ALL the t_ppf work) and the
+    rotated state-weight rows. Build once per backtest; every sweep of a
+    VaR solve reuses them (`VaRBacktest(engine='grid_sharded')`)."""
+    x = jnp.asarray(x)
+    dx = jnp.asarray(dx)
+    fbs = jnp.asarray(fbs)
+    densities = jnp.asarray(densities)
+    unique_vols = jnp.asarray(unique_vols)
     u0 = jnp.sum(
         fbs[:, 0, :, None] * norm_cdf(x[None, None, :] / unique_vols[0][:, None]),
         axis=1,
@@ -415,7 +459,18 @@ def grid_sharded_msm_integrals(mesh: Mesh, bounds, fbs, fcombos, x, dx,
     # rotated density rows (`create_grids.py:121,143`)
     w0 = densities[1] * dx[None, :]  # (q, n) -> outer dim, column-sharded
     w1 = densities[0] * dx[None, :]  # (q, n) -> inner dim, replicated
+    return t0, t1, w0, w1
 
+
+def grid_sharded_msm_sweep(mesh, bounds, t0, t1, w0, w1, fcombos, x,
+                           weights, spec: CopulaSpec, grid_axis="grid",
+                           day_axis=None, box_min=-5.0):
+    """(T,) MSM integrals from prebuilt transforms, outer grid dimension
+    sharded over `mesh` (optionally days over `day_axis` too). Traceable:
+    callable inside a jitted while-loop bisection."""
+    bounds = jnp.asarray(bounds)
+    x = jnp.asarray(x)
+    weights = jnp.asarray(weights)
     dspec = day_axis if day_axis is not None else None
 
     def shard_fn(b, t0_chunk, t1_full, x0_chunk, w0_chunk, fc):
@@ -423,7 +478,7 @@ def grid_sharded_msm_integrals(mesh: Mesh, bounds, fbs, fcombos, x, dx,
             C = _chunk_copula_from_transformed(c0, c1, spec)
             dyn_up = (bi[1] - x0_chunk * weights[1]) / weights[0]
             dyn_lo = jnp.maximum(
-                (bi[0] - x0_chunk * weights[1]) / weights[0], -5.0
+                (bi[0] - x0_chunk * weights[1]) / weights[0], box_min
             )
             M = (x[None, :] > dyn_lo[:, None]) & (x[None, :] <= dyn_up[:, None])
             V = jnp.where(M, C, 0.0)
@@ -445,8 +500,9 @@ def grid_sharded_msm_integrals(mesh: Mesh, bounds, fbs, fcombos, x, dx,
             P(dspec),
         ),
         out_specs=P(dspec),
+        check_vma=False,
     )
-    return f(bounds, t0, t1, x, w0, fcombos)
+    return f(bounds, t0, t1, x, w0, jnp.asarray(fcombos))
 
 
 def _transform_columns(u, spec: CopulaSpec):

@@ -128,14 +128,24 @@ def test_sharded_pallas_engine_matches_xla(rng, family):
     engine within the fused kernel's documented plateau bound."""
     data = _data(rng)
     build = _msm_backtest if family == "msm" else _garch_backtest
-    want = build(data, engine="xla").calc_var(0.05)
+    bt_x = build(data, engine="xla")
+    want = bt_x.calc_var(0.05)
     mesh = make_mesh(n_devices=8)
-    got = build(data, engine="sharded_pallas", mesh=mesh).calc_var(0.05)
-    # f32 kernel vs f64 engine: one grid-cell plateau bound at
-    # num_points=24 (cell ~0.067 x weights[0]=0.5 -> 0.033; the engines'
-    # stage sweeps differ in precision, so a day whose |F - obj| at the
-    # step is below f32 resolution may resolve one cell over)
-    np.testing.assert_allclose(got, want, rtol=0, atol=5e-2)
+    bt_sp = build(data, engine="sharded_pallas", mesh=mesh)
+    got = bt_sp.calc_var(0.05)
+    # DERIVED per-config accuracy contract (VERDICT r03 task #9): worst
+    # case = one max-width grid cell through the half-space; typical
+    # (90% of days) = one median-width cell (flips happen in the fine
+    # interior region where the roots live)
+    from copula_var_tpu.ops.pallas_solver import root_plateau_bound
+
+    ii = bt_x.integration_inputs
+    bound = root_plateau_bound(ii.dx, data.weights)
+    np.testing.assert_allclose(got, want, rtol=0, atol=bound)
+    med = root_plateau_bound(
+        np.median(np.asarray(ii.dx), keepdims=True), data.weights
+    )
+    assert np.quantile(np.abs(got - want), 0.9) <= med
     # most days agree exactly with the f64 roots (plateau flips are rare)
     assert np.mean(np.abs(got - want) < 1e-6) > 0.7
 
@@ -145,11 +155,15 @@ def test_sharded_pallas_engine_levels_uneven(rng):
     data = _data(rng, t_out=13)
     levels = (0.01, 0.05)
     want = _msm_backtest(data, engine="xla").calc_var_levels(levels)
-    got = _msm_backtest(
+    bt = _msm_backtest(
         data, engine="sharded_pallas", mesh=make_mesh(n_devices=8)
-    ).calc_var_levels(levels)
+    )
+    got = bt.calc_var_levels(levels)
     assert got.shape == (2, 13)
-    np.testing.assert_allclose(got, want, rtol=0, atol=5e-2)
+    from copula_var_tpu.ops.pallas_solver import root_plateau_bound
+
+    bound = root_plateau_bound(bt.integration_inputs.dx, data.weights)
+    np.testing.assert_allclose(got, want, rtol=0, atol=bound)
 
 
 def test_sharded_engine_dim3_matches_xla(rng):
@@ -220,3 +234,66 @@ def test_sharded_pallas_engine_dim3(rng):
                                 copula_fit_override=bt_p.copula_fit)
     v_sp = bt_sp.calc_var()
     np.testing.assert_allclose(v_sp, v_p, atol=1e-6)
+
+
+def test_grid_sharded_engine_matches_xla(rng):
+    """engine='grid_sharded' (r03 weak #7 closed): the outer grid
+    dimension shards over the mesh's 'grid' axis with psum partial
+    reductions; f64-exact vs the single-device engine. Also exercises
+    the 2-D ('days', 'grid') product mesh with the day axis active."""
+    from copula_var_tpu.parallel.mesh import make_mesh as mk
+
+    n_total, N = 150, 120  # T = 30: divisible by the 2-device day axis
+    rets = rng.standard_normal((n_total, 2)) * (
+        1.0 + 0.4 * np.abs(np.sin(np.arange(n_total) / 13.0))[:, None]
+    )
+    data = returns_mod.from_returns(rets, n_insample=N)
+    bt_x = create_var_backtest(data, "msm", "student", num_points=24,
+                               engine="xla", k=2, basin_iter=5)
+    v_x = bt_x.calc_var()
+    # grid-only default mesh (1, 8)
+    bt_g = create_var_backtest(data, "msm", "student", num_points=24,
+                               engine="grid_sharded", k=2,
+                               model_fits_override=bt_x.model_fits,
+                               copula_fit_override=bt_x.copula_fit)
+    np.testing.assert_allclose(bt_g.calc_var(), v_x, atol=1e-12)
+    assert bt_g._integral_kernel[0][0] == "grid_msm"
+    # 2-D (2 days x 4 grid) mesh: day axis activates (T % 2 == 0)
+    mesh2 = mk(axis_names=("days", "grid"), shape=(2, 4))
+    bt_g2 = create_var_backtest(data, "msm", "student", num_points=24,
+                                engine="grid_sharded", mesh=mesh2, k=2,
+                                model_fits_override=bt_x.model_fits,
+                                copula_fit_override=bt_x.copula_fit)
+    np.testing.assert_allclose(bt_g2.calc_var(), v_x, atol=1e-12)
+    assert bt_g2._integral_kernel[0][3] == "days"
+    # levels path
+    lv_x = bt_x.calc_var_levels([0.01, 0.05])
+    np.testing.assert_allclose(bt_g.calc_var_levels([0.01, 0.05]), lv_x,
+                               atol=1e-12)
+
+
+def test_grid_sharded_engine_garch_family(rng):
+    data = _data(rng)
+    bt_x = _garch_backtest(data, engine="xla")
+    v_x = bt_x.calc_var()
+    bt_g = _garch_backtest(data, engine="grid_sharded")
+    np.testing.assert_allclose(bt_g.calc_var(), v_x, atol=1e-12)
+    assert bt_g._integral_kernel[0][0] == "grid_garch"
+
+
+def test_grid_sharded_rejects_indivisible_num_points(rng):
+    data = _data(rng)
+    fits = [
+        GarchFit(1, 1, 0.05, np.array([0.08]), np.array([0.88]), 0.0, 0.0,
+                 np.array([0.05, 0.08, 0.88])),
+        GarchFit(1, 1, 0.10, np.array([0.12]), np.array([0.80]), 0.0, 0.0,
+                 np.array([0.10, 0.12, 0.80])),
+    ]
+    bt = VaRBacktest(
+        data, GarchAdapter(), "gaussian", num_points=23,  # 23 % 8 != 0
+        model_fits_override=fits,
+        copula_fit_override=GaussianFit(CORR, 0.0, np.array([CORR[0, 1]])),
+        engine="grid_sharded",
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        bt.calc_var()
