@@ -243,7 +243,7 @@ class MsmAdapter:
     def __init__(self, k: int = 4, basin_iter: int = 100, seed: int = 0,
                  step_size: float = 0.2, b_values=None,
                  gamma_weight: float = 0.0, b_weight: float = 0.0,
-                 bounds=None):
+                 bounds=None, reference_quirks: bool = False):
         self.k = k
         self.basin_iter = basin_iter
         self.seed = seed
@@ -252,6 +252,9 @@ class MsmAdapter:
         self.gamma_weight = gamma_weight
         self.b_weight = b_weight
         self.bounds = bounds
+        # reproduce the reference's optimizer-trajectory defects
+        # (min-LL start selection; see models/fit.fit_msm)
+        self.reference_quirks = reference_quirks
 
     def fit(self, in_sample: np.ndarray):
         return [
@@ -260,6 +263,7 @@ class MsmAdapter:
                 step_size=self.step_size, b_values=self.b_values,
                 gamma_weight=self.gamma_weight, b_weight=self.b_weight,
                 seed=self.seed + i, bounds=self.bounds,
+                reference_quirks=self.reference_quirks,
             )
             for i in range(in_sample.shape[1])
         ]
@@ -398,19 +402,22 @@ class GarchAdapter:
 
     def __init__(self, p_max: int = 3, q_max: int = 3,
                  newton_max_iter: int = 200, newton_tol: float = 1e-10,
-                 eps: float = 1e-5):
+                 eps: float = 1e-5, reference_quirks: bool = False):
         self.p_max = p_max
         self.q_max = q_max
         self.newton_max_iter = newton_max_iter
         self.newton_tol = newton_tol
         self.eps = eps
+        # reproduce the reference's FD-Newton trajectory
+        # (models/fit._fit_garch_reference_trajectory)
+        self.reference_quirks = reference_quirks
 
     def fit(self, in_sample: np.ndarray):
         return [
             model_fit.fit_garch(
                 in_sample[:, i], p_max=self.p_max, q_max=self.q_max,
                 max_iter=self.newton_max_iter, tol=self.newton_tol,
-                eps=self.eps,
+                eps=self.eps, reference_quirks=self.reference_quirks,
             )
             for i in range(in_sample.shape[1])
         ]
@@ -499,13 +506,17 @@ class MeanRevertingAdapter(GarchAdapter):
     def __init__(self, em_max_iter: int = 200, seed: int = 0,
                  a0: float = 0.99, l0: float = 0.5, q0: float = 0.1,
                  em_tol: float = 1e-6, perturb_scale: float = 0.05,
-                 restart_attempts: int = 5):
+                 restart_attempts: int = 5,
+                 reference_quirks: bool = False):
         self.em_max_iter = em_max_iter
         self.seed = seed
         self.a0, self.l0, self.q0 = a0, l0, q0
         self.em_tol = em_tol
         self.perturb_scale = perturb_scale
         self.restart_attempts = restart_attempts
+        # reproduce the reference's frozen-a EM M-step
+        # (models/fit.fit_ukf_em)
+        self.reference_quirks = reference_quirks
 
     def fit(self, in_sample: np.ndarray):
         # default initial guess a=0.99, l=0.5, q=0.1
@@ -516,6 +527,7 @@ class MeanRevertingAdapter(GarchAdapter):
                 max_iter=self.em_max_iter, tol=self.em_tol,
                 perturb_scale=self.perturb_scale,
                 restart_attempts=self.restart_attempts, seed=self.seed + i,
+                reference_quirks=self.reference_quirks,
             )
             for i in range(in_sample.shape[1])
         ]

@@ -32,6 +32,8 @@ class MsmConfig:
     gamma_weight: float = 0.0
     b_weight: float = 0.0
     seed: int = 0
+    # reproduce the reference's min-LL start-selection defect
+    reference_quirks: bool = False
 
 
 @dataclass
@@ -43,6 +45,8 @@ class GarchConfig:
     newton_tol: float = 1e-10
     newton_max_iter: int = 1000
     fd_epsilon: float = 1e-5  # also the positivity floor base
+    # reproduce the reference's FD-Newton optimizer trajectory
+    reference_quirks: bool = False
 
 
 @dataclass
@@ -58,6 +62,8 @@ class MeanRevertingConfig:
     perturb_scale: float = 0.05
     restart_attempts: int = 5
     seed: int = 0
+    # reproduce the reference's frozen-a EM M-step defect
+    reference_quirks: bool = False
 
 
 @dataclass
@@ -141,13 +147,14 @@ def adapter_kwargs(cfg: BacktestConfig) -> dict:
             b_values=np.linspace(*m.b_grid[:2], int(m.b_grid[2])),
             gamma_weight=m.gamma_weight, b_weight=m.b_weight,
             bounds=np.array([m.m0_bounds, m.b_bounds, m.gamma_bounds]),
+            reference_quirks=m.reference_quirks,
         )
     if cfg.estimation_type == "garch":
         g = cfg.garch
         return dict(
             p_max=g.p_max, q_max=g.q_max,
             newton_max_iter=g.newton_max_iter, newton_tol=g.newton_tol,
-            eps=g.fd_epsilon,
+            eps=g.fd_epsilon, reference_quirks=g.reference_quirks,
         )
     if cfg.estimation_type == "mean_reverting":
         m = cfg.mean_reverting
@@ -155,6 +162,7 @@ def adapter_kwargs(cfg: BacktestConfig) -> dict:
             em_max_iter=m.em_max_iter, seed=m.seed, a0=m.a0, l0=m.l0,
             q0=m.q0, em_tol=m.em_tol, perturb_scale=m.perturb_scale,
             restart_attempts=m.restart_attempts,
+            reference_quirks=m.reference_quirks,
         )
     raise ValueError(f"Unsupported estimation type: {cfg.estimation_type}")
 

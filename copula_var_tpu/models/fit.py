@@ -230,6 +230,89 @@ def _garch_candidates(returns, p_max, q_max):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _garch_nll_batch_program(p: int):
+    """Batched GARCH NLL for the reference-trajectory Newton: every
+    finite-difference stencil point of one iteration evaluates in ONE
+    device dispatch."""
+    return jax.jit(
+        jax.vmap(lambda x, r: _garch_nll(r, x, p), in_axes=(0, None))
+    )
+
+
+def _fit_garch_reference_trajectory(returns, p_max, q_max, tol, max_iter,
+                                    eps) -> GarchFit:
+    """The reference `GarchOptimizer`'s EXACT optimizer trajectory
+    (`garch/opti.py:39-181`; VERDICT r03 missing #3): single init
+    [0.1] + [0.5/(p+q)] * (p+q), central-finite-difference gradient and
+    Hessian — INCLUDING the reference's defective mixed-partial stencil
+    (f(+e_i) - f(+e_j) - f(-e_i) + f(-e_j)) / (4 eps^2), which is not a
+    cross derivative but is reproduced verbatim for trajectory parity —
+    `np.linalg.pinv` Newton steps, renormalize-if-sum>1 + positivity
+    projections, `norm(delta) < tol` convergence on the PRE-projection
+    step, and strict `<` BIC selection in p-major order.
+
+    All stencil values come from single-coordinate perturbations
+    f(x +- eps e_i) and f(x), so each Newton iteration costs ONE batched
+    device NLL dispatch (2m + 1 points). Host numpy does the pinv (no
+    f64 SVD on TPU) and the projections — this mode exists for golden
+    comparison, not speed; the default fused-batched Newton remains the
+    production path."""
+    r_dev = jnp.asarray(np.asarray(returns, dtype=float))
+    n_obs = len(returns)
+    best = None
+    for p in range(1, p_max + 1):
+        for q in range(1, q_max + 1):
+            m = 1 + p + q
+            nll_batch = _garch_nll_batch_program(p)
+            ab = 0.5 / (p + q)
+            x = np.array([0.1] + [ab] * (p + q), dtype=float)
+            eye = np.eye(m)
+            converged_x = None
+            for _ in range(max_iter):
+                pts = np.concatenate(
+                    [x[None, :] + eps * eye, x[None, :] - eps * eye,
+                     x[None, :]], axis=0,
+                )
+                vals = np.asarray(nll_batch(jnp.asarray(pts), r_dev))
+                f_up, f_dn, f0 = vals[:m], vals[m:2 * m], vals[2 * m]
+                grad = (f_up - f_dn) / (2.0 * eps)
+                hess = np.empty((m, m))
+                for i in range(m):
+                    hess[i, i] = (f_up[i] - 2.0 * f0 + f_dn[i]) / eps**2
+                    for j in range(i + 1, m):
+                        hess[i, j] = hess[j, i] = (
+                            f_up[i] - f_up[j] - f_dn[i] + f_dn[j]
+                        ) / (4.0 * eps**2)
+                try:
+                    hess_inv = np.linalg.pinv(hess)
+                except np.linalg.LinAlgError:
+                    converged_x = None
+                    break
+                delta = -hess_inv @ grad
+                x = x + delta
+                s_rest = np.sum(x[1:])
+                if s_rest > 1:
+                    x[1:] = x[1:] / s_rest
+                x = np.maximum(x, eps + 1e-7)
+                converged_x = x
+                if np.linalg.norm(delta) < tol:
+                    break
+            if converged_x is None:
+                continue  # `opti.py:110-112`: skip non-converged pair
+            x = converged_x
+            nll = float(
+                np.asarray(nll_batch(jnp.asarray(x[None, :]), r_dev))[0]
+            )
+            bic = 2.0 * nll + m * np.log(n_obs)
+            if best is None or bic < best.bic:
+                alpha = x[1:1 + p].copy()
+                beta = x[1 + p:].copy()
+                best = GarchFit(p, q, float(x[0]), alpha, beta, nll, bic,
+                                x.copy())
+    return best
+
+
 def fit_garch(
     returns,
     p_max: int = 3,
@@ -237,11 +320,20 @@ def fit_garch(
     tol: float = 1e-10,
     max_iter: int = 1000,
     eps: float = 1e-5,
+    reference_quirks: bool = False,
 ) -> GarchFit:
     """BIC-selected GARCH(p, q) fit (`garch/opti.py:89-181`).
 
     All p_max * q_max * 3-start Newton solves run in ONE batched device
-    program (`_newton_garch_batched`); BIC selection happens on host."""
+    program (`_newton_garch_batched`); BIC selection happens on host.
+
+    reference_quirks=True switches to the reference's exact optimizer
+    trajectory (`_fit_garch_reference_trajectory`) for fits-included
+    golden comparison."""
+    if reference_quirks:
+        return _fit_garch_reference_trajectory(
+            returns, p_max, q_max, tol, max_iter, eps
+        )
     returns = np.asarray(returns, dtype=float)
     n_obs = len(returns)
     inits, masks, extras, pairs = _garch_candidates(returns, p_max, q_max)

@@ -106,3 +106,47 @@ def test_ukf_frozen_a_quirk_golden(rng):
     assert abs(fixed.a - got.a) + abs(fixed.l - got.l) > 1e-6, (
         "the frozen-a defect should be observable on this data"
     )
+
+
+def test_garch_reference_trajectory_quirk_golden(rng):
+    """fit_garch(reference_quirks=True) walks the reference
+    GarchOptimizer's EXACT Newton trajectory (`garch/opti.py:139-181`) —
+    FD stencils incl. the defective mixed-partial formula, pinv steps,
+    projections, BIC `<` selection.
+
+    The FD Hessian divides ~1e-7-scale NLL differences by eps^2 = 1e-10,
+    so the comparison must hold the NLL values fixed: the reference
+    optimizer here is run with OUR jitted NLL injected (the NLL itself
+    is pinned by the dedicated parity suite, tests/test_garch.py), which
+    isolates exactly the trajectory the quirk mode claims to reproduce."""
+    import jax.numpy as jnp
+
+    from copula_var_tpu.models.fit import _garch_nll
+
+    n = 300
+    vol = np.empty(n)
+    r = np.empty(n)
+    v = 1.0
+    for t in range(n):  # GARCH(1,1)-ish data
+        v = 0.05 + 0.1 * (r[t - 1] ** 2 if t else 1.0) + 0.85 * v
+        vol[t] = np.sqrt(v)
+        r[t] = vol[t] * rng.standard_normal()
+
+    opti_mod = ref("garch.opti")
+
+    class InjectedNll(opti_mod.GarchOptimizer):
+        def negative_log_likelihood(self, params, p, q):
+            return float(_garch_nll(jnp.asarray(r), jnp.asarray(params), p))
+
+    p_max = q_max = 2  # 4 pairs: enough to exercise the BIC selection
+    ref_opt = InjectedNll(r, p_max=p_max, q_max=q_max, tol=1e-10,
+                          max_iter=60)
+    (rp, rq), ref_params, ref_nll, ref_bic = ref_opt.optimize()
+
+    got = mfit.fit_garch(r, p_max=p_max, q_max=q_max, tol=1e-10,
+                         max_iter=60, reference_quirks=True)
+    assert (got.p, got.q) == (rp, rq)
+    np.testing.assert_allclose(got.params, np.asarray(ref_params),
+                               rtol=1e-12)
+    np.testing.assert_allclose(got.nll, float(ref_nll), rtol=1e-12)
+    np.testing.assert_allclose(got.bic, float(ref_bic), rtol=1e-12)
