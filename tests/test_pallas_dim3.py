@@ -48,7 +48,10 @@ def _msm3_problem(rng, T=6, n=24, q=3):
     return bounds, fbs, fcombos, x, dx, dens, uvols
 
 
-@pytest.mark.parametrize("copula", ["student", "gaussian"])
+@pytest.mark.parametrize(
+    "copula",
+    [pytest.param("student", marks=pytest.mark.slow), "gaussian"],
+)
 def test_dim3_pallas_msm_matches_tcached(rng, copula):
     bounds, fbs, fcombos, x, dx, dens, uvols = _msm3_problem(rng)
     params = (
@@ -68,7 +71,10 @@ def test_dim3_pallas_msm_matches_tcached(rng, copula):
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-8)
 
 
-@pytest.mark.parametrize("copula", ["student", "gaussian"])
+@pytest.mark.parametrize(
+    "copula",
+    [pytest.param("student", marks=pytest.mark.slow), "gaussian"],
+)
 def test_dim3_pallas_garch_matches_tcached(rng, copula):
     T, n = 5, 24
     x, dx = garch_grid(n)

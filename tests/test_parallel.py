@@ -69,7 +69,11 @@ def test_sharded_garch_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-10)
 
 
-@pytest.mark.parametrize("copula", ["gaussian", "student", "plackett"])
+@pytest.mark.parametrize(
+    "copula",
+    ["gaussian", pytest.param("student", marks=pytest.mark.slow),
+     "plackett"],
+)
 def test_grid_sharded_psum_matches_dense(rng, copula):
     mesh = make_mesh(n_devices=8, axis_names=("grid",))
     T = 6
@@ -99,6 +103,9 @@ def test_grid_sharding_requires_divisibility(rng):
 
 
 def test_graft_entry_contract():
+    """Quick tier: entry() compiles + a small-mesh dry run (2 devices);
+    the full 8-device dry run — the driver's own protocol — lives in the
+    slow tier (it compiles many more programs: dim-3 engines, grid mesh)."""
     import sys
 
     sys.path.insert(0, "/root/repo")
@@ -107,6 +114,16 @@ def test_graft_entry_contract():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
+    ge.dryrun_multichip(2)
+
+
+@pytest.mark.slow
+def test_graft_entry_dryrun_full_mesh():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
     ge.dryrun_multichip(8)
 
 
@@ -199,7 +216,10 @@ def test_sharded_bisection_solve_matches_host(rng):
     np.testing.assert_allclose(got, want, atol=1e-9)
 
 
-@pytest.mark.parametrize("copula", ["gaussian", "student"])
+@pytest.mark.parametrize(
+    "copula",
+    ["gaussian", pytest.param("student", marks=pytest.mark.slow)],
+)
 def test_grid_sharded_msm_psum_matches_dense(rng, copula):
     """MSM-family grid sharding: partial state sandwiches psum-reduced
     over the 'grid' axis must equal the dense single-device engine."""
@@ -223,6 +243,7 @@ def test_grid_sharded_msm_psum_matches_dense(rng, copula):
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_grid_sharded_msm_2d_mesh(rng):
     """2-D ('days', 'grid') mesh: days shard over one axis while each
     integral's grid rows shard over the other — the day x grid product

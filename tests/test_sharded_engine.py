@@ -236,6 +236,7 @@ def test_sharded_pallas_engine_dim3(rng):
     np.testing.assert_allclose(v_sp, v_p, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grid_sharded_engine_matches_xla(rng):
     """engine='grid_sharded' (r03 weak #7 closed): the outer grid
     dimension shards over the mesh's 'grid' axis with psum partial
