@@ -743,7 +743,7 @@ class VaRBacktest:
             return self._build_grid_sharded_fn()
         elif self.engine in ("sharded", "sharded_pallas"):
             if self.data.dim != 2 or not hasattr(self.adapter, "day_tensors"):
-                return self._build_sharded_dim3_fn()
+                return self._build_sharded_highdim_fn()
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from copula_var_tpu.ops.quadrature import (
@@ -837,7 +837,7 @@ class VaRBacktest:
         self._integral_fn = fn
         return fn
 
-    def _build_sharded_dim3_fn(self):
+    def _build_sharded_highdim_fn(self):
         """dim >= 3 sharded engines (VERDICT r03 task #3).
 
         engine='sharded' (f64 parity): day-sharded TRANSFORM COLUMNS —

@@ -164,3 +164,26 @@ def test_dim4_small_n_quadrature_runs():
     mass_inner = float(np.sum((pdfx * dx)[np.asarray(x) > -5.0]))
     np.testing.assert_allclose(got, mass1 ** (dim - 1) * mass_inner,
                                rtol=1e-10)
+
+
+def test_dim4_backtest_end_to_end(rng):
+    """4-asset portfolio through the full pipeline at small num_points
+    (the transient budget is a memory bound, not a dimensionality cap):
+    xla and the day-sharded transform-column engine agree exactly."""
+    from copula_var_tpu.backtest import create_var_backtest
+    from copula_var_tpu.data import returns as returns_mod
+
+    n_total, n_in, dim = 140, 120, 4
+    rets = rng.standard_normal((n_total, dim)) * (
+        1.0 + 0.3 * np.abs(np.sin(np.arange(n_total) / 11.0))[:, None]
+    )
+    data = returns_mod.from_returns(rets, n_insample=n_in)
+    bt_x = create_var_backtest(data, "garch", "gaussian", num_points=16,
+                               engine="xla", p_max=1, q_max=1)
+    v_x = bt_x.calc_var()
+    assert np.all(np.isfinite(v_x)) and np.all(v_x < 0)
+    bt_s = create_var_backtest(data, "garch", "gaussian", num_points=16,
+                               engine="sharded", p_max=1, q_max=1,
+                               model_fits_override=bt_x.model_fits,
+                               copula_fit_override=bt_x.copula_fit)
+    np.testing.assert_allclose(bt_s.calc_var(), v_x, atol=1e-12)

@@ -66,6 +66,7 @@ def test_dim3_backtest_end_to_end():
     assert np.all(np.isfinite(var)) and np.all(var < 0)
 
 
+@pytest.mark.slow
 def test_dim3_msm_backtest():
     data = synthetic_dataset(
         jax.random.PRNGKey(4), 160, 148, spec=("msm", "garch", "msm")
