@@ -280,6 +280,41 @@ def main():
         if time.time() - t_start < 900.0:
             dt4 = time_pallas_fused(levels=4)
             extra["value_4level_amortized"] = round(T / dt4, 1)
+        if time.time() - t_start < 900.0:
+            # DEVICE-MARGINAL rate by K-sweep slope (differential timing
+            # removes the fixed ~25-45 ms tunnel dispatch+fetch latency
+            # that bounds the single-launch headline): time the same
+            # fused solve at n_iters = 22 and 222 and divide the extra
+            # integrals by the extra wall time.
+            from copula_var_tpu.ops.pallas_solver import (
+                msm_full_solve_pallas_levels,
+            )
+
+            C = _msm_day_tensors(args[1], args[3], args[6], spec.kind,
+                                 spec.params)
+            C32 = jnp.asarray(C, jnp.float32)
+
+            def timed(n_it):
+                tol = 7.5 / 2.0 ** n_it
+
+                def solve():
+                    return msm_full_solve_pallas_levels(
+                        C32, args[2], args[3], args[4], args[5], args[7],
+                        [0.05], tolerance=tol,
+                    )[0]
+
+                solve()
+                ts = []
+                for _ in range(5):
+                    t0 = time.time()
+                    solve()
+                    ts.append(time.time() - t0)
+                return min(ts)
+
+            t_lo, t_hi = timed(22), timed(222)
+            if t_hi > t_lo:
+                marginal = (222 - 22) * T / (t_hi - t_lo)
+                extra["value_device_marginal"] = round(marginal, 1)
     except Exception as e:  # non-TPU backend or lowering regression
         print(f"pallas path unavailable ({type(e).__name__}: {e}); "
               "falling back to XLA", file=sys.stderr)

@@ -15,7 +15,7 @@ model adapters vmap over. The yfinance network edge is optional and gated
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

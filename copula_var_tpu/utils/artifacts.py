@@ -10,7 +10,6 @@ backtest can resume straight into the VaR solve.
 from __future__ import annotations
 
 import json
-from typing import Optional
 
 import numpy as np
 
@@ -19,11 +18,6 @@ _FORMAT_VERSION = 1
 
 def save_artifacts(path: str, backtest) -> None:
     """Serialize a constructed VaRBacktest's precompute state."""
-    from copula_var_tpu.backtest import (
-        GarchIntegrationInputs,
-        MsmIntegrationInputs,
-    )
-
     ii = backtest.integration_inputs
     meta = {
         "version": _FORMAT_VERSION,

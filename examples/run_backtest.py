@@ -35,9 +35,14 @@ def main():
     ap.add_argument("--plot", default=None, help="output PNG path")
     ap.add_argument("--quick", action="store_true",
                     help="tiny problem + cheap optimizers (smoke run)")
-    ap.add_argument("--engine", default="xla", choices=("xla", "pallas"),
-                    help="quadrature/solver engine (pallas = fused f32 "
-                         "TPU kernels, dim 2 only)")
+    ap.add_argument("--engine", default="xla",
+                    choices=("xla", "pallas", "sharded", "sharded_pallas",
+                             "grid_sharded"),
+                    help="solver engine: xla (f64 parity), pallas (fused "
+                         "f32 kernels, ONE dispatch per solve), sharded / "
+                         "sharded_pallas (day-sharded over the device "
+                         "mesh), grid_sharded (grid rows sharded, psum "
+                         "over ICI)")
     args = ap.parse_args()
 
     from copula_var_tpu import data as data_mod
