@@ -136,6 +136,72 @@ def _call_integral_kernel(kernel_id, bounds, aux):
     raise ValueError(f"unknown integral kernel: {kernel_id!r}")
 
 
+def _bracket_state_jnp(F1, obj, sweep, cfg, quirks):
+    """Branch-free stage-2 refinement + bisection-state setup for one
+    confidence level (`calc_var_class.py:125-155`), traced. F1 (T,) is
+    the shared stage-1 CDF; `sweep(bounds) -> (T,)`; cfg =
+    [first_guess, sg0, sg1, min_v, max_v]. Returns (lo, hi, res,
+    prev_upper, ustack, nan_mask)."""
+    fg, sg0, sg1, min_v, max_v = cfg[0], cfg[1], cfg[2], cfg[3], cfg[4]
+    T = F1.shape[0]
+    new_lower = jnp.where(F1 >= obj, sg0, fg)
+    new_upper = jnp.where(F1 < obj, sg1, fg)
+    I2 = sweep(jnp.stack([new_lower, new_upper], axis=-1))
+    res = jnp.where(new_lower == fg, F1 + I2, F1 - I2)
+    anchor = fg if quirks else sg1
+    prev_upper = jnp.where(new_lower == sg0, sg0, anchor)
+    lo = jnp.broadcast_to(min_v, (T,))
+    hi = jnp.broadcast_to(max_v, (T,))
+    m = res > obj
+    lo = jnp.where(m, min_v, lo)
+    hi = jnp.where(m, sg0, hi)
+    m = (res < obj) & (new_upper == fg)
+    lo = jnp.where(m, sg0, lo)
+    hi = jnp.where(m, fg, hi)
+    m = (res < obj) & (new_upper == sg1)
+    lo = jnp.where(m, sg1, lo)
+    hi = jnp.where(m, max_v, hi)
+    m = (res > obj) & (new_upper == sg1)
+    lo = jnp.where(m, fg, lo)
+    hi = jnp.where(m, sg1, hi)
+    ustack = ~((hi == sg0) | (hi == sg1))
+    return lo, hi, res, prev_upper, ustack, jnp.isnan(res)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_id", "quirks", "T"))
+def _device_full_solve_levels_jit(kernel_id, aux, obj, cfg, tolerance, T,
+                                  quirks):
+    """The ENTIRE multi-level solve — stage-1 sweep, per-level stage-2
+    bracketing, and the whole-array bisection — as ONE module-level
+    jitted program for any recognized integral kernel (the XLA cached/
+    tcached engines, the dim-3 Pallas column engine, the grid-sharded
+    engine). The f64 twin of `ops/pallas_solver._full_solve`: same
+    branch-free bracket logic, with the while-loop (not fixed-count)
+    bisection and the reference's all-zeros early break. Returns
+    (roots (L, T), nan_days (L, T))."""
+    dt = jnp.result_type(cfg.dtype, jnp.float32)
+    sweep = lambda b: _call_integral_kernel(kernel_id, b, aux)
+    stage1 = jnp.stack(
+        [jnp.full((T,), -100.0, dt),
+         jnp.broadcast_to(cfg[0], (T,)).astype(dt)], axis=-1,
+    )
+    F1 = sweep(stage1)
+    L = obj.shape[0]
+    per = [_bracket_state_jnp(F1, obj[lev], sweep, cfg, quirks)
+           for lev in range(L)]
+    lower = jnp.stack([p[0] for p in per]).astype(dt)
+    upper = jnp.stack([p[1] for p in per]).astype(dt)
+    prev_res = jnp.stack([p[2] for p in per]).astype(dt)
+    prev_up = jnp.stack([p[3] for p in per]).astype(dt)
+    ustack = jnp.stack([p[4] for p in per])
+    nan_days = jnp.stack([p[5] for p in per])
+    roots = _device_bisection_levels_jit.__wrapped__(
+        kernel_id, aux, lower, upper, prev_res, prev_up, ustack,
+        obj[:, None].astype(dt), jnp.asarray(tolerance, dt),
+    )
+    return roots, nan_days
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_id",))
 def _device_bisection_jit(kernel_id, aux, lower, upper, prev_res, prev_up,
                           ustack, obj_var, tolerance):
@@ -1111,6 +1177,23 @@ class VaRBacktest:
             self.solve_seconds = time.time() - t0
             return final + self.data.ptf_mean
 
+        # any engine with a recognized stable kernel (xla cached/tcached,
+        # the dim-3 pallas column engine, grid_sharded): the WHOLE solve
+        # — both bracketing stages and the bisection — is ONE module-level
+        # jitted dispatch (`_device_full_solve_levels_jit`)
+        if self.engine not in ("sharded", "sharded_pallas"):
+            self._cached_integral_fn()
+            kern = getattr(self, "_integral_kernel", None)
+            if kern is not None:
+                roots, nanm = self._solve_device_fused(
+                    np.asarray([obj_var], dtype=np.float64), first_guess,
+                    second_guess, tolerance, min_var_value, max_var_value,
+                )
+                self.last_solve_dispatches = 1
+                final = np.where(nanm[0], np.nan, roots[0])
+                self.solve_seconds = time.time() - t0
+                return final + self.data.ptf_mean
+
         bounds = np.column_stack((np.full(T, -100.0), np.full(T, first_guess)))
         results = self.compute_integral(bounds)
         bis, result_current, upper_stack, prev_upper, nan_days = self._bracket(
@@ -1119,8 +1202,7 @@ class VaRBacktest:
         )
 
         if self.engine == "pallas":
-            # dim 3: the fused column kernel drives the on-device
-            # while-loop bisection (one Pallas sweep per iteration)
+            # dim 3 plugin path without a recognized kernel
             final = self._bisection_device(
                 obj_var, bis, result_current, upper_stack, prev_upper,
                 tolerance,
@@ -1187,6 +1269,18 @@ class VaRBacktest:
             self.solve_seconds = time.time() - t0
             return final + self.data.ptf_mean
 
+        if self.engine not in ("sharded", "sharded_pallas"):
+            self._cached_integral_fn()
+            if getattr(self, "_integral_kernel", None) is not None:
+                roots, nanm = self._solve_device_fused(
+                    obj_vars, first_guess, second_guess, tolerance,
+                    min_var_value, max_var_value,
+                )
+                self.last_solve_dispatches = 1
+                final = np.where(nanm, np.nan, roots)
+                self.solve_seconds = time.time() - t0
+                return final + self.data.ptf_mean
+
         bounds = np.column_stack((np.full(T, -100.0), np.full(T, first_guess)))
         results = self.compute_integral(bounds)
         states = [
@@ -1236,6 +1330,24 @@ class VaRBacktest:
         final = np.where(nan_days, np.nan, final)
         self.solve_seconds = time.time() - t0
         return final + self.data.ptf_mean
+
+    def _solve_device_fused(self, obj_vars, first_guess, second_guess,
+                            tolerance, min_var_value, max_var_value):
+        """One-dispatch solve for any engine with a recognized stable
+        integral kernel: `_device_full_solve_levels_jit` (stage sweeps +
+        branch-free bracketing + while-loop bisection in one program).
+        Returns (roots (L, T), nan_days (L, T)) as numpy."""
+        kernel_id, aux = self._integral_kernel
+        cfg = np.array(
+            [first_guess, second_guess[0], second_guess[1], min_var_value,
+             max_var_value], dtype=np.float64,
+        )
+        roots, nanm = _device_full_solve_levels_jit(
+            kernel_id, aux, jnp.asarray(obj_vars), jnp.asarray(cfg),
+            tolerance, self.data.out_sample_n, bool(self.reference_quirks),
+        )
+        roots, nanm = jax.device_get((roots, nanm))
+        return np.asarray(roots), np.asarray(nanm)
 
     def _solve_fused_full(self, obj_vars, first_guess, second_guess,
                           tolerance, min_var_value, max_var_value):

@@ -12,11 +12,7 @@ VERDICT r03 tasks 1-2:
 import numpy as np
 import pytest
 
-from copula_var_tpu.backtest import (
-    _device_bisection_jit,
-    _device_bisection_levels_jit,
-    create_var_backtest,
-)
+from copula_var_tpu.backtest import create_var_backtest
 from copula_var_tpu.data import returns as returns_mod
 
 
@@ -93,21 +89,25 @@ def test_fused_reference_quirks_flag(data):
 
 def test_device_bisection_zero_retrace(rng):
     """Second same-shape backtest dispatches the compiled module-level
-    program: `_cache_size()` of both solvers must not grow."""
+    program: `_cache_size()` of the fused whole-solve program must not
+    grow (the xla engine now runs stage sweeps + bracketing + bisection
+    as ONE dispatch through `_device_full_solve_levels_jit`)."""
+    from copula_var_tpu.backtest import _device_full_solve_levels_jit
+
     d1 = _data(rng)
     bt1 = _build(d1, "xla")
     bt1.calc_var()
     bt1.calc_var_levels([0.01, 0.05])
-    n1 = _device_bisection_jit._cache_size()
-    nl1 = _device_bisection_levels_jit._cache_size()
-    assert n1 >= 1 and nl1 >= 1
+    assert bt1.last_solve_dispatches == 1
+    assert getattr(bt1, "_integral_calls", 0) == 0
+    n1 = _device_full_solve_levels_jit._cache_size()
+    assert n1 >= 1
 
     d2 = _data(rng, seed_scale=1.3)  # same shapes, different values
     bt2 = _build(d2, "xla")
     bt2.calc_var()
     bt2.calc_var_levels([0.01, 0.05])
-    assert _device_bisection_jit._cache_size() == n1
-    assert _device_bisection_levels_jit._cache_size() == nl1
+    assert _device_full_solve_levels_jit._cache_size() == n1
 
 
 def test_msm_fused_engine(rng):
