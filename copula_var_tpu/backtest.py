@@ -43,6 +43,7 @@ from copula_var_tpu.ops.quadrature import (
     garch_integrals,
     msm_integrals,
 )
+from copula_var_tpu.ops.solvers import bracket_state_jnp
 from copula_var_tpu.ops.special import norm_cdf, norm_pdf
 
 VOL_STATE_ROUND_TOL = 1e-6  # `msm_estimation.py:204-248`
@@ -136,38 +137,6 @@ def _call_integral_kernel(kernel_id, bounds, aux):
     raise ValueError(f"unknown integral kernel: {kernel_id!r}")
 
 
-def _bracket_state_jnp(F1, obj, sweep, cfg, quirks):
-    """Branch-free stage-2 refinement + bisection-state setup for one
-    confidence level (`calc_var_class.py:125-155`), traced. F1 (T,) is
-    the shared stage-1 CDF; `sweep(bounds) -> (T,)`; cfg =
-    [first_guess, sg0, sg1, min_v, max_v]. Returns (lo, hi, res,
-    prev_upper, ustack, nan_mask)."""
-    fg, sg0, sg1, min_v, max_v = cfg[0], cfg[1], cfg[2], cfg[3], cfg[4]
-    T = F1.shape[0]
-    new_lower = jnp.where(F1 >= obj, sg0, fg)
-    new_upper = jnp.where(F1 < obj, sg1, fg)
-    I2 = sweep(jnp.stack([new_lower, new_upper], axis=-1))
-    res = jnp.where(new_lower == fg, F1 + I2, F1 - I2)
-    anchor = fg if quirks else sg1
-    prev_upper = jnp.where(new_lower == sg0, sg0, anchor)
-    lo = jnp.broadcast_to(min_v, (T,))
-    hi = jnp.broadcast_to(max_v, (T,))
-    m = res > obj
-    lo = jnp.where(m, min_v, lo)
-    hi = jnp.where(m, sg0, hi)
-    m = (res < obj) & (new_upper == fg)
-    lo = jnp.where(m, sg0, lo)
-    hi = jnp.where(m, fg, hi)
-    m = (res < obj) & (new_upper == sg1)
-    lo = jnp.where(m, sg1, lo)
-    hi = jnp.where(m, max_v, hi)
-    m = (res > obj) & (new_upper == sg1)
-    lo = jnp.where(m, fg, lo)
-    hi = jnp.where(m, sg1, hi)
-    ustack = ~((hi == sg0) | (hi == sg1))
-    return lo, hi, res, prev_upper, ustack, jnp.isnan(res)
-
-
 @functools.partial(jax.jit, static_argnames=("kernel_id", "quirks", "T"))
 def _device_full_solve_levels_jit(kernel_id, aux, obj, cfg, tolerance, T,
                                   quirks):
@@ -187,7 +156,7 @@ def _device_full_solve_levels_jit(kernel_id, aux, obj, cfg, tolerance, T,
     )
     F1 = sweep(stage1)
     L = obj.shape[0]
-    per = [_bracket_state_jnp(F1, obj[lev], sweep, cfg, quirks)
+    per = [bracket_state_jnp(F1, obj[lev], sweep, cfg, quirks)
            for lev in range(L)]
     lower = jnp.stack([p[0] for p in per]).astype(dt)
     upper = jnp.stack([p[1] for p in per]).astype(dt)
@@ -838,6 +807,7 @@ class VaRBacktest:
                 fcombos = put_global(
                     pad_days(jnp.asarray(inputs.forecast_combos), n_dev), d
                 )
+                self._cached_fcombos = fcombos
 
                 def fn(bounds):
                     b = put_global(pad_days(jnp.asarray(bounds), n_dev), d)
@@ -1194,6 +1164,20 @@ class VaRBacktest:
                 self.solve_seconds = time.time() - t0
                 return final + self.data.ptf_mean
 
+        if self.engine in ("sharded", "sharded_pallas"):
+            # day-sharded engines: the WHOLE solve (bracketing stages +
+            # SPMD bisection) is ONE dispatch too
+            # (`parallel/quadrature.py` full-solve programs)
+            self._cached_integral_fn()
+            roots, nanm = self._solve_sharded_fused(
+                np.asarray([obj_var], dtype=np.float64), first_guess,
+                second_guess, tolerance, min_var_value, max_var_value,
+            )
+            self.last_solve_dispatches = 1
+            final = np.where(nanm[0], np.nan, roots[0])
+            self.solve_seconds = time.time() - t0
+            return final + self.data.ptf_mean
+
         bounds = np.column_stack((np.full(T, -100.0), np.full(T, first_guess)))
         results = self.compute_integral(bounds)
         bis, result_current, upper_stack, prev_upper, nan_days = self._bracket(
@@ -1207,19 +1191,6 @@ class VaRBacktest:
                 obj_var, bis, result_current, upper_stack, prev_upper,
                 tolerance,
             )
-        elif self.engine == "sharded":
-            self._cached_integral_fn()  # builds sharded self._cached_tensors
-            final = self._bisection_sharded(
-                obj_var, bis, result_current, upper_stack, prev_upper,
-                tolerance,
-            )
-        elif self.engine == "sharded_pallas":
-            # dim 3: day-sharded fused column kernel + SPMD while loop
-            self._cached_integral_fn()
-            final = self._bisection_sharded_dim3_levels(
-                np.asarray([obj_var]), bis[None], result_current[None],
-                upper_stack[None], prev_upper[None], tolerance,
-            )[0]
         elif self._cached_integral_fn() is not None:
             final = self._bisection_device(
                 obj_var, bis, result_current, upper_stack, prev_upper,
@@ -1281,6 +1252,17 @@ class VaRBacktest:
                 self.solve_seconds = time.time() - t0
                 return final + self.data.ptf_mean
 
+        if self.engine in ("sharded", "sharded_pallas"):
+            self._cached_integral_fn()
+            roots, nanm = self._solve_sharded_fused(
+                obj_vars, first_guess, second_guess, tolerance,
+                min_var_value, max_var_value,
+            )
+            self.last_solve_dispatches = 1
+            final = np.where(nanm, np.nan, roots)
+            self.solve_seconds = time.time() - t0
+            return final + self.data.ptf_mean
+
         bounds = np.column_stack((np.full(T, -100.0), np.full(T, first_guess)))
         results = self.compute_integral(bounds)
         states = [
@@ -1295,20 +1277,8 @@ class VaRBacktest:
         nan_days = np.stack([s[4] for s in states])
 
         if self.engine == "pallas":
-            # dim 3: the fused column kernel drives the on-device loop
+            # dim 3 plugin path without a recognized kernel
             final = self._bisection_device_levels(
-                obj_vars, bis, prev_result, upper_stack, prev_upper,
-                tolerance,
-            )
-        elif self.engine == "sharded":
-            self._cached_integral_fn()  # builds sharded self._cached_tensors
-            final = self._bisection_sharded_levels(
-                obj_vars, bis, prev_result, upper_stack, prev_upper,
-                tolerance,
-            )
-        elif self.engine == "sharded_pallas":
-            self._cached_integral_fn()
-            final = self._bisection_sharded_dim3_levels(
                 obj_vars, bis, prev_result, upper_stack, prev_upper,
                 tolerance,
             )
@@ -1391,94 +1361,51 @@ class VaRBacktest:
             tensors, inputs.x, inputs.dx, self.data.weights, obj_vars, **kw,
         )
 
-    def _bisection_sharded(self, obj_var, bisection_bounds, prev_result,
-                           upper_stack, prev_upper, tolerance):
-        """Day-sharded SPMD bisection over the mesh: the day tensors live
-        sharded on the 'days' axis and ONE while-loop program runs on all
-        devices (`parallel/quadrature.py::sharded_bisection_solve`);
-        cross-device traffic per iteration = the scalar convergence and
-        early-break all-reduces over ICI."""
-        from copula_var_tpu.parallel.quadrature import (
-            sharded_bisection_solve,
-        )
-
-        if getattr(self, "_sharded_tcached", None) is not None:
-            return self._bisection_sharded_levels(
-                np.asarray([obj_var]), bisection_bounds[None],
-                prev_result[None], upper_stack[None], prev_upper[None],
-                tolerance,
-            )[0]
-        inputs = self.integration_inputs
-        is_msm = isinstance(inputs, MsmIntegrationInputs)
-        return np.asarray(
-            sharded_bisection_solve(
-                self._get_mesh(), self._cached_tensors,
-                inputs.forecast_combos if is_msm else None,
-                inputs.densities if is_msm else None,
-                inputs.x, inputs.dx, self.data.weights,
-                bisection_bounds[:, 0], bisection_bounds[:, 1],
-                prev_result, prev_upper, upper_stack, obj_var, tolerance,
-                self.box[0],
-            )
-        )
-
-    def _bisection_sharded_dim3_levels(self, obj_vars, bisection_bounds,
-                                       prev_result, upper_stack,
-                                       prev_upper, tolerance):
-        """engine='sharded_pallas' at dim 3: all L levels in one
-        day-sharded SPMD while-loop driving the fused dim-3 Pallas
-        column kernel per shard (`parallel/quadrature.py::
-        _dim3_pallas_solve_program`)."""
-        from copula_var_tpu.parallel.quadrature import (
-            sharded_dim3_pallas_bisection_solve_levels,
-        )
-
-        st = self._sharded_dim3
-        return np.asarray(sharded_dim3_pallas_bisection_solve_levels(
-            self._get_mesh(), st["day_leaves_s"], st["shared"],
-            bisection_bounds[:, :, 0], bisection_bounds[:, :, 1],
-            prev_result, prev_upper, upper_stack, obj_vars, tolerance,
-            st["family"], st["kind"], interpret=st["interpret"],
-            box_min=self.box[0],
-        ))
-
-    def _bisection_sharded_levels(self, obj_vars, bisection_bounds,
-                                  prev_result, upper_stack, prev_upper,
-                                  tolerance):
-        """All L confidence levels in one day-sharded SPMD while-loop
-        (`parallel/quadrature.py::sharded_bisection_solve_levels`; the
-        dim >= 3 transform-column variant when the cached-tensor path is
-        unavailable)."""
-        from copula_var_tpu.parallel.quadrature import (
-            sharded_bisection_solve_levels,
-            sharded_tcached_bisection_solve_levels,
-        )
-
-        st = getattr(self, "_sharded_tcached", None)
-        if st is not None:
-            inputs = self.integration_inputs
-            return np.asarray(sharded_tcached_bisection_solve_levels(
-                self._get_mesh(), st["cols_s"], st["fcombos_s"],
-                st["densities"], inputs.x, inputs.dx, self.data.weights,
-                bisection_bounds[:, :, 0], bisection_bounds[:, :, 1],
-                prev_result, prev_upper, upper_stack, obj_vars, tolerance,
-                self.copula_spec, st["family"], st["day_batch"],
-                self.box[0],
-            ))
+    def _solve_sharded_fused(self, obj_vars, first_guess, second_guess,
+                             tolerance, min_var_value, max_var_value):
+        """One-dispatch solve for the day-sharded engines: dim-2 cached
+        tensors (GSPMD), dim >= 3 transform columns (shard_map), or the
+        dim-3 Pallas column kernel (shard_map) — bracketing + bisection
+        in the same program. Returns (roots (L, T), nan_days (L, T))."""
+        from copula_var_tpu.parallel import quadrature as pq
 
         inputs = self.integration_inputs
-        is_msm = isinstance(inputs, MsmIntegrationInputs)
-        return np.asarray(
-            sharded_bisection_solve_levels(
-                self._get_mesh(), self._cached_tensors,
-                inputs.forecast_combos if is_msm else None,
-                inputs.densities if is_msm else None,
-                inputs.x, inputs.dx, self.data.weights,
-                bisection_bounds[:, :, 0], bisection_bounds[:, :, 1],
-                prev_result, prev_upper, upper_stack, obj_vars, tolerance,
-                self.box[0],
-            )
+        mesh = self._get_mesh()
+        common = dict(
+            first_guess=first_guess, second_guess=tuple(second_guess),
+            tolerance=tolerance, min_var_value=min_var_value,
+            max_var_value=max_var_value, box_min=self.box[0],
+            reference_quirks=self.reference_quirks,
         )
+        T = self.data.out_sample_n
+        st3 = getattr(self, "_sharded_dim3", None)
+        if self.engine == "sharded_pallas" and st3 is not None:
+            roots, nanm = pq.sharded_dim3_pallas_full_solve_levels(
+                mesh, st3["day_leaves_s"], st3["shared"], obj_vars,
+                family=st3["family"], kind=st3["kind"],
+                interpret=st3["interpret"], T=T, **common,
+            )
+            return np.asarray(roots), np.asarray(nanm)
+        stt = getattr(self, "_sharded_tcached", None)
+        if stt is not None:
+            roots, nanm = pq.sharded_tcached_full_solve_levels(
+                mesh, stt["cols_s"], stt["fcombos_s"], stt["densities"],
+                inputs.x, inputs.dx, self.data.weights, obj_vars,
+                spec=self.copula_spec, family=stt["family"],
+                day_batch=stt["day_batch"], T=T, **common,
+            )
+            return np.asarray(roots), np.asarray(nanm)
+        # dim 2 cached tensors (both 'sharded' and 'sharded_pallas' dim-2
+        # route elsewhere; this is the 'sharded' GSPMD engine)
+        is_msm = isinstance(inputs, MsmIntegrationInputs)
+        roots, nanm = pq.sharded_full_solve_levels(
+            mesh, self._cached_tensors,
+            getattr(self, "_cached_fcombos", None) if is_msm else None,
+            inputs.densities if is_msm else None,
+            inputs.x, inputs.dx, self.data.weights, obj_vars, T=T,
+            **common,
+        )
+        return np.asarray(roots), np.asarray(nanm)
 
     def _bisection_device_levels(self, obj_vars, bisection_bounds,
                                  prev_result, upper_stack, prev_upper,

@@ -56,3 +56,35 @@ def golden_section_min(fn, lo, hi, iters: int = 90):
     a, b = jax.lax.fori_loop(0, iters, body, (lo, hi))
     x = 0.5 * (a + b)
     return x, fn(x)
+
+
+def bracket_state_jnp(F1, obj, sweep, cfg, quirks):
+    """Branch-free stage-2 refinement + bisection-state setup for one
+    confidence level (`calc_var_class.py:125-155`), traced. F1 (T,) is
+    the shared stage-1 CDF; `sweep(bounds) -> (T,)`; cfg =
+    [first_guess, sg0, sg1, min_v, max_v]. Returns (lo, hi, res,
+    prev_upper, ustack, nan_mask)."""
+    fg, sg0, sg1, min_v, max_v = cfg[0], cfg[1], cfg[2], cfg[3], cfg[4]
+    T = F1.shape[0]
+    new_lower = jnp.where(F1 >= obj, sg0, fg)
+    new_upper = jnp.where(F1 < obj, sg1, fg)
+    I2 = sweep(jnp.stack([new_lower, new_upper], axis=-1))
+    res = jnp.where(new_lower == fg, F1 + I2, F1 - I2)
+    anchor = fg if quirks else sg1
+    prev_upper = jnp.where(new_lower == sg0, sg0, anchor)
+    lo = jnp.broadcast_to(min_v, (T,))
+    hi = jnp.broadcast_to(max_v, (T,))
+    m = res > obj
+    lo = jnp.where(m, min_v, lo)
+    hi = jnp.where(m, sg0, hi)
+    m = (res < obj) & (new_upper == fg)
+    lo = jnp.where(m, sg0, lo)
+    hi = jnp.where(m, fg, hi)
+    m = (res < obj) & (new_upper == sg1)
+    lo = jnp.where(m, sg1, lo)
+    hi = jnp.where(m, max_v, hi)
+    m = (res > obj) & (new_upper == sg1)
+    lo = jnp.where(m, fg, lo)
+    hi = jnp.where(m, sg1, hi)
+    ustack = ~((hi == sg0) | (hi == sg1))
+    return lo, hi, res, prev_upper, ustack, jnp.isnan(res)

@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from copula_var_tpu.ops.quadrature import (
@@ -216,6 +217,112 @@ def _solve_levels_jit(state0, tensors, fcombos, densities, x, dx, weights,
     state = state0 + (jnp.zeros(state0[0].shape[:1], dtype=bool),)
     lower, upper, *_ = jax.lax.while_loop(cond, body, state)
     return (lower + upper) / 2.0
+
+
+@functools.partial(jax.jit, static_argnames=("is_msm", "quirks", "Tp"))
+def _full_solve_levels_gspmd_jit(tensors, fcombos, densities, x, dx,
+                                 weights, obj, cfg, tolerance, box_min,
+                                 is_msm, quirks, Tp):
+    """ONE GSPMD dispatch for the WHOLE multi-level solve on day-sharded
+    cached tensors: stage-1 sweep + per-level branch-free bracketing
+    (`ops/solvers.bracket_state_jnp`) + the SPMD while-loop bisection
+    (`_solve_levels_jit` semantics). Sharding propagates from the
+    operands; the stage sweeps are day-parallel like every bisection
+    iteration. Returns (roots (L, Tp), nan_days (L, Tp))."""
+    from copula_var_tpu.ops.quadrature import (
+        garch_integrals_cached,
+        msm_integrals_cached,
+    )
+    from copula_var_tpu.ops.solvers import bracket_state_jnp
+
+    if is_msm:
+        def integral(b):
+            return msm_integrals_cached(
+                b, tensors, fcombos, x, dx, densities, weights, box_min
+            )
+    else:
+        def integral(b):
+            return garch_integrals_cached(b, tensors, x, dx, weights,
+                                          box_min)
+
+    dt = jnp.result_type(cfg.dtype, jnp.float32)
+    stage1 = jnp.stack(
+        [jnp.full((Tp,), -100.0, dt),
+         jnp.broadcast_to(cfg[0], (Tp,)).astype(dt)], axis=-1,
+    )
+    F1 = integral(stage1)
+    L = obj.shape[0]
+    per = [bracket_state_jnp(F1, obj[lev], integral, cfg, quirks)
+           for lev in range(L)]
+    state0 = (
+        jnp.stack([p[0] for p in per]).astype(dt),
+        jnp.stack([p[1] for p in per]).astype(dt),
+        jnp.stack([p[2] for p in per]).astype(dt),
+        jnp.stack([p[3] for p in per]).astype(dt),
+        jnp.stack([p[4] for p in per]),
+    )
+    nan_days = jnp.stack([p[5] for p in per])
+    roots = _solve_levels_jit.__wrapped__(
+        state0, tensors, fcombos, densities, x, dx, weights,
+        obj.astype(dt), jnp.asarray(tolerance, dt),
+        jnp.asarray(box_min, dt), is_msm,
+    )
+    return roots, nan_days
+
+
+def sharded_full_solve_levels(mesh: Mesh, day_tensors, fcombos, densities,
+                              x, dx, weights, obj_vars, first_guess,
+                              second_guess, tolerance, min_var_value,
+                              max_var_value, box_min=-5.0,
+                              reference_quirks=False, T=None):
+    """engine='sharded' (dim 2) in ONE dispatch: bracketing + bisection
+    on the day-sharded cached tensors. `day_tensors`/`fcombos` may be the
+    orchestrator's pre-placed padded globals. Returns host
+    (roots (L, T), nan_days (L, T))."""
+    from copula_var_tpu.parallel.multiprocess import fetch, put_global
+
+    d = NamedSharding(mesh, P("days"))
+    n_dev = mesh.shape["days"]
+    obj_vars = jnp.atleast_1d(jnp.asarray(obj_vars))
+    is_msm = densities is not None
+    if T is None:
+        # NOTE: day_tensors/fcombos may arrive PRE-PADDED (the
+        # orchestrator's placed cache) — callers with padded inputs must
+        # pass the true T explicitly
+        T = int(
+            (jnp.asarray(fcombos) if is_msm else
+             jnp.asarray(day_tensors)).shape[0]
+        )
+    Tp = T + ((-T) % n_dev)
+    tensors_s = (
+        put_global(day_tensors, d)
+        if isinstance(day_tensors, jax.Array) and day_tensors.shape[0] == Tp
+        else put_global(pad_days(jnp.asarray(day_tensors), n_dev), d)
+    )
+    if is_msm:
+        fcombos_s = (
+            put_global(fcombos, d)
+            if isinstance(fcombos, jax.Array) and fcombos.shape[0] == Tp
+            else put_global(pad_days(jnp.asarray(fcombos), n_dev), d)
+        )
+        densities = jnp.asarray(densities)
+    else:
+        fcombos_s = jnp.zeros(())
+        densities = jnp.zeros(())
+    # un-padded T semantics: padded rows mirror the last real day, so the
+    # bracket masks, the all-zeros break, and the convergence test see
+    # the same values the unpadded program would
+    cfg = jnp.asarray(
+        np.array([first_guess, second_guess[0], second_guess[1],
+                  min_var_value, max_var_value], dtype=np.float64)
+    )
+    roots, nan_days = _full_solve_levels_gspmd_jit(
+        tensors_s, fcombos_s, densities, jnp.asarray(x), jnp.asarray(dx),
+        jnp.asarray(weights), obj_vars, cfg, tolerance, box_min,
+        is_msm, bool(reference_quirks), int(Tp),
+    )
+    roots, nan_days = fetch(roots), fetch(nan_days)
+    return roots[:, :T], nan_days[:, :T]
 
 
 def sharded_bisection_solve_levels(mesh: Mesh, day_tensors, fcombos,
@@ -814,6 +921,139 @@ def sharded_dim3_pallas_bisection_solve_levels(
               jnp.asarray(obj_vars, dtype=dt),
               jnp.asarray(tolerance, dtype=dt))
     return fetch(roots)[:, :T]
+
+
+def _spmd_full_solve_levels(integral, obj, cfg, tol, T_loc, quirks):
+    """Per-shard stage-1 sweep + branch-free bracketing, then the
+    global-reduction bisection (`_spmd_bisection_levels`). The
+    bracketing is purely per-day, so it adds no collectives. Returns
+    (roots (L, T_loc), nan_days (L, T_loc))."""
+    from copula_var_tpu.ops.solvers import bracket_state_jnp
+
+    dt = jnp.result_type(cfg.dtype, jnp.float32)
+    stage1 = jnp.stack(
+        [jnp.full((T_loc,), -100.0, dt),
+         jnp.broadcast_to(cfg[0], (T_loc,)).astype(dt)], axis=-1,
+    )
+    F1 = integral(stage1)
+    L = obj.shape[0]
+    per = [bracket_state_jnp(F1, obj[lev], integral, cfg, quirks)
+           for lev in range(L)]
+    state0 = (
+        jnp.stack([p[0] for p in per]).astype(dt),
+        jnp.stack([p[1] for p in per]).astype(dt),
+        jnp.stack([p[2] for p in per]).astype(dt),
+        jnp.stack([p[3] for p in per]).astype(dt),
+        jnp.stack([p[4] for p in per]),
+    )
+    nan_days = jnp.stack([p[5] for p in per])
+    roots = _spmd_bisection_levels(integral, state0, obj.astype(dt),
+                                   jnp.asarray(tol, dt))
+    return roots, nan_days
+
+
+@functools.lru_cache(maxsize=32)
+def _tcached_full_program(mesh, family, kind, day_batch, box_min, quirks):
+    """ONE-dispatch transform-column solve: shard_map of (stage sweeps +
+    bracketing + bisection) over 'days'."""
+
+    def local(cols, fcombos, densities, x, dx, weights, params, obj, cfg,
+              tol):
+        T_loc = jnp.asarray(fcombos).shape[0]
+        integral = _tcached_integral_fn(family, kind, day_batch, box_min,
+                                        cols, fcombos, densities, x, dx,
+                                        weights, params)
+        return _spmd_full_solve_levels(integral, obj, cfg, tol, T_loc,
+                                       quirks)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("days"), P("days"), P(), P(), P(), P(), P(), P(), P(),
+                  P()),
+        out_specs=(P(None, "days"), P(None, "days")),
+        check_vma=False,
+    ))
+
+
+def sharded_tcached_full_solve_levels(
+    mesh, cols_s, fcombos_s, densities, x, dx, weights, obj_vars,
+    first_guess, second_guess, tolerance, min_var_value, max_var_value,
+    spec: CopulaSpec, family, day_batch, box_min=-5.0,
+    reference_quirks=False, T=None,
+):
+    """engine='sharded' at dim >= 3 in ONE dispatch. cols_s/fcombos_s
+    pre-placed via `_tcached_place`; T = unpadded day count."""
+    from copula_var_tpu.parallel.multiprocess import fetch
+
+    obj_vars = jnp.atleast_1d(jnp.asarray(obj_vars))
+    if T is None:
+        T = fcombos_s.shape[0]
+    cfg = jnp.asarray(
+        np.array([first_guess, second_guess[0], second_guess[1],
+                  min_var_value, max_var_value], dtype=np.float64)
+    )
+    dens = jnp.zeros(()) if densities is None else jnp.asarray(densities)
+    f = _tcached_full_program(mesh, family, spec.kind, int(day_batch),
+                              float(box_min), bool(reference_quirks))
+    roots, nan_days = f(
+        cols_s, fcombos_s, dens, jnp.asarray(x), jnp.asarray(dx),
+        jnp.asarray(weights), spec.params, obj_vars, cfg,
+        jnp.asarray(tolerance),
+    )
+    return fetch(roots)[:, :T], fetch(nan_days)[:, :T]
+
+
+@functools.lru_cache(maxsize=32)
+def _dim3_pallas_full_program(mesh, family, kind, interpret, box_min,
+                              quirks):
+    """ONE-dispatch dim-3 Pallas column solve: shard_map of (stage
+    sweeps + bracketing + bisection) over 'days'."""
+
+    def local(day_leaves, shared_leaves, obj, cfg, tol):
+        from copula_var_tpu.ops.pallas_quadrature3 import (
+            Dim3Cache,
+            dim3_integrals_pallas,
+        )
+
+        z, fin, lu, p, g = day_leaves
+        x, w1, w2, consts, weights = shared_leaves
+        cache = Dim3Cache(x, z, fin, lu, p, w1, w2, g, consts, weights)
+        integral = lambda b: dim3_integrals_pallas(
+            b, cache, family=family, kind=kind, interpret=interpret,
+            box_min=box_min,
+        )
+        T_loc = z.shape[0]
+        return _spmd_full_solve_levels(integral, obj, cfg, tol, T_loc,
+                                       quirks)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("days"), P(), P(), P(), P()),
+        out_specs=(P(None, "days"), P(None, "days")),
+        check_vma=False,
+    ))
+
+
+def sharded_dim3_pallas_full_solve_levels(
+    mesh, day_leaves_s, shared_leaves, obj_vars, first_guess,
+    second_guess, tolerance, min_var_value, max_var_value, family, kind,
+    interpret=False, box_min=-5.0, reference_quirks=False, T=None,
+):
+    """engine='sharded_pallas' at dim 3 in ONE dispatch."""
+    from copula_var_tpu.parallel.multiprocess import fetch
+
+    obj_vars = jnp.atleast_1d(jnp.asarray(obj_vars))
+    if T is None:
+        T = day_leaves_s[0].shape[0]
+    cfg = jnp.asarray(
+        np.array([first_guess, second_guess[0], second_guess[1],
+                  min_var_value, max_var_value], dtype=np.float64)
+    )
+    f = _dim3_pallas_full_program(mesh, family, kind, bool(interpret),
+                                  float(box_min), bool(reference_quirks))
+    roots, nan_days = f(day_leaves_s, shared_leaves, obj_vars, cfg,
+                        jnp.asarray(tolerance))
+    return fetch(roots)[:, :T], fetch(nan_days)[:, :T]
 
 
 def _tcached_place(mesh, cols, fcombos, family, T):
