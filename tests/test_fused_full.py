@@ -124,3 +124,19 @@ def test_msm_fused_engine(rng):
     v_p = bt_p.calc_var()
     assert bt_p.last_solve_dispatches == 1
     np.testing.assert_allclose(v_p, v_x, atol=5e-5)
+
+
+def test_fused_plackett_family(data):
+    """Plackett copula through the fused one-dispatch pallas engine
+    (day tensors are copula-generic; completes the 3-copula coverage of
+    the fused path)."""
+    bt_x = create_var_backtest(data, "garch", "plackett", engine="xla",
+                               p_max=1, q_max=1, num_points=40)
+    v_x = bt_x.calc_var()
+    bt_p = create_var_backtest(data, "garch", "plackett", engine="pallas",
+                               p_max=1, q_max=1, num_points=40,
+                               model_fits_override=bt_x.model_fits,
+                               copula_fit_override=bt_x.copula_fit)
+    v_p = bt_p.calc_var()
+    assert bt_p.last_solve_dispatches == 1
+    np.testing.assert_allclose(v_p, v_x, atol=5e-5)
