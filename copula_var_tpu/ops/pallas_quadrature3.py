@@ -253,21 +253,10 @@ def _split_transform(cols, spec: CopulaSpec, T: int, n: int):
 
 
 def _desaturate_f32(u):
-    """Keep f32 marginal CDFs strictly inside (0, 1).
+    """Shared f32 CDF desaturation (`ops/quadrature.desaturate_f32`)."""
+    from copula_var_tpu.ops.quadrature import desaturate_f32
 
-    In f32, norm_cdf saturates to exactly 1.0 beyond ~5.3 sigma; at dim 3
-    the half-space cut only restricts the INNERMOST coordinate
-    (`create_grids.py:127`), so saturated outer coordinates legitimately
-    enter the mask and their t_ppf(1.0) = inf would NaN the whole
-    integral — purely an f32 artifact (the f64 engine, and the reference,
-    stay finite on the same inputs). The f64 path is NOT clamped: a true
-    u in {0, 1} keeps the reference's NaN-on-saturation parity
-    (`student.py:128-131`)."""
-    u = jnp.asarray(u)
-    if u.dtype != jnp.float32:
-        return u
-    eps = jnp.finfo(jnp.float32).eps
-    return jnp.clip(u, 1e-37, 1.0 - eps)
+    return desaturate_f32(u)
 
 
 class Dim3Cache:

@@ -119,18 +119,40 @@ def _chol_inv_logdet(corr):
     return sigma_inv, logdet
 
 
+def desaturate_f32(u):
+    """Keep f32 marginal CDFs strictly inside (0, 1).
+
+    In f32, norm_cdf saturates to exactly 1.0 beyond ~5.3 sigma (f64
+    only beyond ~8.3), so a day with an extreme fitted vol feeds
+    ppf(1.0) = inf into the copula transform and the whole day NaNs —
+    purely an f32 artifact: the f64 engine, and the reference, stay
+    finite on the same inputs (observed on the TPU flagship run: the
+    f32 engines produced NaN days the CPU f64 record solves). The f64
+    path is NOT clamped: a true u in {0, 1} keeps the reference's
+    NaN-on-saturation parity (`student.py:128-131`)."""
+    u = jnp.asarray(u)
+    if u.dtype != jnp.float32:
+        return u
+    eps = jnp.finfo(jnp.float32).eps
+    return jnp.clip(u, 1e-37, 1.0 - eps)
+
+
 def transform_u_columns(u_cols, spec: CopulaSpec):
     """Per-coordinate copula pre-transforms on (dim, n) marginal-CDF
     columns. Everything ppf-shaped — the reference's dominant scalar cost
     (`student/student.py:96-104`) — happens HERE, on dim*n values, and is
     bounds-invariant, so cached engines hoist it out of the solver loop.
 
+    f32 inputs are desaturated (see `desaturate_f32`) — every cached/
+    tcached/grid-sharded engine funnels through this transform, so the
+    clamp covers them all; f64 passes through untouched (parity).
+
     Returns a tuple of (dim, n) arrays:
       plackett -> (u,);   gaussian -> (z,) with z = norm_ppf(u);
       student  -> (z, finite, log_uni) with z = where(finite, t_ppf(u), 0)
                   and log_uni the log univariate-t pdf at z.
     """
-    u_cols = jnp.asarray(u_cols)
+    u_cols = desaturate_f32(jnp.asarray(u_cols))
     if spec.kind == "plackett":
         return (u_cols,)
     if spec.kind == "gaussian":

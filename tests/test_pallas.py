@@ -326,3 +326,30 @@ def test_clamp_day_block_rules():
     # at the production default budget, production shapes keep B intact
     assert _clamp_day_block(32, 500, 100, 5, 1) == 32
     assert _clamp_day_block(128, 500, 100, 5, 1) == 128
+
+
+def test_f32_saturated_marginals_stay_finite(rng):
+    """f32 CDF desaturation (`ops/quadrature.desaturate_f32`): a day with
+    an extreme vol saturates f32 norm_cdf at ~5.3 sigma; without the
+    clamp the whole day's tensor NaNs (observed on the TPU flagship run)
+    while the f64 engine stays finite on the same inputs. The clamp is
+    f32-only — the f64 path keeps the reference's NaN-on-saturation
+    parity."""
+    import jax.numpy as jnp
+
+    from copula_var_tpu.ops.quadrature import msm_day_tensors
+
+    n, q, T = 32, 3, 4
+    x, dx = msm_grid(n)
+    # one tiny vol level: x/vol reaches hundreds of sigma -> u == 1.0 f32
+    uvols = np.array([[0.02, 0.5, 1.0], [0.5, 1.0, 1.5]])
+    fbs = np.full((T, 2, q), 1.0 / q)
+    spec = CopulaSpec("student", (6.0, CORR))
+    C32 = msm_day_tensors(
+        jnp.asarray(fbs, jnp.float32), jnp.asarray(x, jnp.float32),
+        jnp.asarray(uvols, jnp.float32), spec,
+    )
+    assert np.all(np.isfinite(np.asarray(C32))), "f32 day tensor NaN'd"
+    # f64: the same build is untouched by the clamp (parity behavior)
+    C64 = msm_day_tensors(fbs, x, uvols, spec)
+    assert C64.dtype == jnp.float64
