@@ -1301,6 +1301,50 @@ class VaRBacktest:
         self.solve_seconds = time.time() - t0
         return final + self.data.ptf_mean
 
+    def calc_var_portfolios(self, weights_batch, obj_var=0.05,
+                            first_guess=-3.0, second_guess=(-3.5, -2.0),
+                            tolerance=1e-6, min_var_value=-7.5,
+                            max_var_value=0.0):
+        """VaR for L PORTFOLIOS (weight vectors) over the same fitted
+        models + copula, in ONE fused device dispatch -> (L, T).
+
+        A capability extension beyond the reference (which fixes one
+        weight vector per `ValueAtRiskCalcualtion`): the cached day
+        tensors are weight-INDEPENDENT (weights only shape the
+        half-space mask and the portfolio mean), and the fused kernel
+        reads its weights per level from the scalar state — so L
+        portfolios ride the level axis of one launch, sharing a single
+        HBM stream of the day tensors. Row l equals `calc_var(obj_var)`
+        of a backtest whose data carries weights_batch[l] (exactly, in
+        interpret mode; plateau-bounded on hardware), including that
+        row's own portfolio mean. engine='pallas'/'sharded_pallas',
+        dim == 2."""
+        weights_batch = np.atleast_2d(np.asarray(weights_batch, float))
+        if weights_batch.shape[1] != self.data.dim:
+            raise ValueError(
+                f"weights_batch must be (L, {self.data.dim})"
+            )
+        if not (self.engine in ("pallas", "sharded_pallas")
+                and self.data.dim == 2):
+            raise ValueError(
+                "calc_var_portfolios requires engine='pallas' or "
+                "'sharded_pallas' at dim == 2 (the fused level-batch "
+                "kernel)"
+            )
+        t0 = time.time()
+        self._cached_integral_fn()
+        L = weights_batch.shape[0]
+        roots, nan_days = self._solve_fused_full(
+            np.full(L, float(obj_var)), first_guess, second_guess,
+            tolerance, min_var_value, max_var_value,
+            weights=weights_batch,
+        )
+        self.last_solve_dispatches = 1
+        final = np.where(nan_days[None, :], np.nan, roots)
+        self.solve_seconds = time.time() - t0
+        ptf_means = np.asarray(self.data.in_sample_mean) @ weights_batch.T
+        return final + ptf_means[:, None]
+
     def _solve_device_fused(self, obj_vars, first_guess, second_guess,
                             tolerance, min_var_value, max_var_value):
         """One-dispatch solve for any engine with a recognized stable
@@ -1320,7 +1364,8 @@ class VaRBacktest:
         return np.asarray(roots), np.asarray(nanm)
 
     def _solve_fused_full(self, obj_vars, first_guess, second_guess,
-                          tolerance, min_var_value, max_var_value):
+                          tolerance, min_var_value, max_var_value,
+                          weights=None):
         """The ENTIRE multi-level solve — stage-1 sweep, per-level stage-2
         bracketing, and the VMEM-resident bisection — in ONE device
         dispatch (`ops/pallas_solver.py::_full_solve`). engine='pallas'
@@ -1332,6 +1377,8 @@ class VaRBacktest:
         inputs = self.integration_inputs
         tensors = self._cached_tensors
         interpret = jax.devices()[0].platform != "tpu"
+        if weights is None:
+            weights = self.data.weights
         kw = dict(
             first_guess=first_guess, second_guess=tuple(second_guess),
             tolerance=tolerance, min_var_value=min_var_value,
@@ -1345,20 +1392,20 @@ class VaRBacktest:
             if is_msm:
                 return ps.msm_full_solve_pallas_levels_sharded(
                     mesh, tensors, inputs.forecast_combos, inputs.x,
-                    inputs.dx, inputs.densities, self.data.weights,
+                    inputs.dx, inputs.densities, weights,
                     obj_vars, **kw,
                 )
             return ps.garch_full_solve_pallas_levels_sharded(
-                mesh, tensors, inputs.x, inputs.dx, self.data.weights,
+                mesh, tensors, inputs.x, inputs.dx, weights,
                 obj_vars, T=self.data.out_sample_n, **kw,
             )
         if is_msm:
             return ps.msm_full_solve_pallas_levels(
                 tensors, inputs.forecast_combos, inputs.x, inputs.dx,
-                inputs.densities, self.data.weights, obj_vars, **kw,
+                inputs.densities, weights, obj_vars, **kw,
             )
         return ps.garch_full_solve_pallas_levels(
-            tensors, inputs.x, inputs.dx, self.data.weights, obj_vars, **kw,
+            tensors, inputs.x, inputs.dx, weights, obj_vars, **kw,
         )
 
     def _solve_sharded_fused(self, obj_vars, first_guess, second_guess,

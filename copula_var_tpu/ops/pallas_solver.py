@@ -444,15 +444,20 @@ def _full_solve(cfg, obj_vars, weights, x, w0, w1, fcombos, day_tensors,
     # sweeps — same wfc the kernel uses per iteration
     wfc3 = jnp.einsum("si,tsk->tik", w0f, fc3)  # (T, n, q)
     xf = jnp.asarray(x, f32)
+    # per-LEVEL portfolio weights: (L, 2). A plain (2,) broadcasts —
+    # confidence-ladder semantics; distinct rows turn the level axis
+    # into a PORTFOLIO batch (the day tensors are weight-independent,
+    # so L portfolios share one HBM stream; the kernel already reads
+    # w_in/w_out per level from the scalar state).
     wf = jnp.asarray(weights, f32)
-    w_in, w_out = wf[0], wf[1]
+    wf = jnp.broadcast_to(jnp.atleast_2d(wf), (n_levels, 2))
     cfgf = jnp.asarray(cfg, f32)
     fg, sg0, sg1 = cfgf[0], cfgf[1], cfgf[2]
     min_v, max_v = cfgf[3], cfgf[4]
     bmf = jnp.asarray(box_min, f32)
     objf = jnp.asarray(obj_vars, f32)
 
-    def sweep(lo, up):
+    def sweep(lo, up, w_in, w_out):
         # masked-sandwich slab integral, (T,) — the XLA mirror of one
         # kernel iteration: mask rows by the per-outer-coordinate
         # half-space band, contract against w1 then the hoisted wfc
@@ -468,17 +473,23 @@ def _full_solve(cfg, obj_vars, weights, x, w0, w1, fcombos, day_tensors,
         return jnp.sum(a * wfc3, axis=(1, 2))
 
     # stage 1: slab [-100, first_guess] (`calc_var_class.py:116-121`) —
-    # shared across levels (independent of obj_var)
-    F1 = sweep(jnp.full((T,), -100.0, f32),
-               jnp.broadcast_to(fg, (T,)))
+    # per level only when levels carry distinct portfolio weights
+    # (XLA CSEs the identical sweeps in the shared-weights case)
+    F1s = [
+        sweep(jnp.full((T,), -100.0, f32), jnp.broadcast_to(fg, (T,)),
+              wf[lev, 0], wf[lev, 1])
+        for lev in range(n_levels)
+    ]
     levels = []
     for lev in range(n_levels):
         obj = objf[lev]
+        F1 = F1s[lev]
+        w_in, w_out = wf[lev, 0], wf[lev, 1]
         # stage 2: refinement slab + incremental bookkeeping
         # (`calc_var_class.py:125-143`)
         new_lower = jnp.where(F1 >= obj, sg0, fg)
         new_upper = jnp.where(F1 < obj, sg1, fg)
-        I2 = sweep(new_lower, new_upper)
+        I2 = sweep(new_lower, new_upper, w_in, w_out)
         res = jnp.where(new_lower == fg, F1 + I2, F1 - I2)
         # DEFECT-FIXED anchor unless quirks (see VaRBacktest._bracket)
         anchor = fg if quirks else sg1

@@ -140,3 +140,32 @@ def test_fused_plackett_family(data):
     v_p = bt_p.calc_var()
     assert bt_p.last_solve_dispatches == 1
     np.testing.assert_allclose(v_p, v_x, atol=5e-5)
+
+
+def test_calc_var_portfolios_matches_per_weight_backtests(data):
+    """L portfolios ride the fused kernel's level axis in ONE dispatch:
+    row l equals a separate backtest whose data carries weights l
+    (exact in interpret mode, incl. each row's own portfolio mean).
+    Capability extension beyond the reference (one weight vector per
+    calculator)."""
+    W = np.array([[0.5, 0.5], [0.8, 0.2], [0.3, 0.7]])
+    bt = _build(data, "pallas")
+    out = bt.calc_var_portfolios(W, obj_var=0.05)
+    assert out.shape == (3, data.out_sample_n)
+    assert bt.last_solve_dispatches == 1
+    for l in range(3):
+        d_l = returns_mod.from_returns(
+            data.returns, n_insample=data.n_insample, weights=W[l]
+        )
+        bt_l = create_var_backtest(
+            d_l, "garch", "gaussian", engine="pallas", p_max=1, q_max=1,
+            num_points=40, model_fits_override=bt.model_fits,
+            copula_fit_override=bt.copula_fit,
+        )
+        np.testing.assert_allclose(out[l], bt_l.calc_var(0.05), atol=1e-6)
+
+
+def test_calc_var_portfolios_rejects_wrong_engine(data):
+    bt = _build(data, "xla")
+    with pytest.raises(ValueError, match="pallas"):
+        bt.calc_var_portfolios(np.array([[0.5, 0.5]]))
