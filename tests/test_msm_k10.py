@@ -77,3 +77,19 @@ def test_kron_matches_dense_k10(rng):
     ll_kron = float(msm_mod.log_likelihood(*args, dense=False))
     ll_dense = float(msm_mod.log_likelihood(*args, dense=True))
     np.testing.assert_allclose(ll_kron, ll_dense, rtol=1e-12)
+
+
+def test_msm_k12_kron_likelihood_and_collapse(rng):
+    """k = 12 (4096 states) stays usable through the Kronecker path: the
+    likelihood evaluates finite in O(k 2^k) (the dense path would be a
+    4096^2 matvec per step — 19 s/eval on the v5e, benchmarks/
+    msm_k_scaling.py), and the vol-state collapse yields the k+1 = 13
+    unique multiplier-product levels the adapters integrate over."""
+    r = _msm_k10_returns(rng, 200)
+    ll = float(msm_mod.log_likelihood(12, 0.45, 1.0, 5.0, 0.4, r,
+                                      dense=False))
+    assert np.isfinite(ll)
+    vols = np.asarray(msm_mod.vol_states(12, 0.45, 1.0))
+    assert vols.shape == (4096,)
+    rounded = np.round(vols / 1e-6) * 1e-6
+    assert len(np.unique(rounded)) == 13
