@@ -1324,6 +1324,13 @@ class VaRBacktest:
             raise ValueError(
                 f"weights_batch must be (L, {self.data.dim})"
             )
+        # obj_var: scalar (shared) or (L,) — one confidence level per
+        # portfolio row, so a mixed (weights, alpha) query batch solves
+        # in the same single launch
+        obj_arr = np.broadcast_to(
+            np.atleast_1d(np.asarray(obj_var, dtype=np.float64)),
+            (weights_batch.shape[0],),
+        ).copy()
         if not (self.engine in ("pallas", "sharded_pallas")
                 and self.data.dim == 2):
             raise ValueError(
@@ -1333,9 +1340,8 @@ class VaRBacktest:
             )
         t0 = time.time()
         self._cached_integral_fn()
-        L = weights_batch.shape[0]
         roots, nan_days = self._solve_fused_full(
-            np.full(L, float(obj_var)), first_guess, second_guess,
+            obj_arr, first_guess, second_guess,
             tolerance, min_var_value, max_var_value,
             weights=weights_batch,
         )

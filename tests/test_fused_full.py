@@ -169,3 +169,27 @@ def test_calc_var_portfolios_rejects_wrong_engine(data):
     bt = _build(data, "xla")
     with pytest.raises(ValueError, match="pallas"):
         bt.calc_var_portfolios(np.array([[0.5, 0.5]]))
+
+
+def test_calc_var_portfolios_sharded_pallas(data):
+    """Portfolio batch through the day-sharded fused engine (shard_map
+    over the 8-device mesh; weights replicate, days shard)."""
+    W = np.array([[0.5, 0.5], [0.7, 0.3]])
+    bt_p = _build(data, "pallas")
+    want = bt_p.calc_var_portfolios(W)
+    bt_s = _build(data, "sharded_pallas")
+    got = bt_s.calc_var_portfolios(W)
+    assert bt_s.last_solve_dispatches == 1
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_calc_var_portfolios_per_row_alpha(data):
+    """Mixed (weights, alpha) query batches: obj_var may be (L,) — each
+    portfolio row solves its own confidence level in the same launch."""
+    W = np.array([[0.5, 0.5], [0.5, 0.5]])
+    bt = _build(data, "pallas")
+    out = bt.calc_var_portfolios(W, obj_var=np.array([0.01, 0.05]))
+    v1 = bt.calc_var(0.01)
+    v5 = bt.calc_var(0.05)
+    np.testing.assert_allclose(out[0], v1, atol=1e-6)
+    np.testing.assert_allclose(out[1], v5, atol=1e-6)
