@@ -137,6 +137,93 @@ def _call_integral_kernel(kernel_id, bounds, aux):
     raise ValueError(f"unknown integral kernel: {kernel_id!r}")
 
 
+# position of the portfolio-weights element inside each kernel's aux
+# pytree (see _cached_integral_fn) — lets the portfolio batch substitute
+# per-row weights without reshaping the kernel contracts
+_WEIGHTS_POS = {
+    "msm_cached": 5,
+    "garch_cached": 3,
+    "msm_tcached": 5,
+    "garch_tcached": 4,
+    "dim3_pallas": 9,
+    "grid_msm": 6,
+    "grid_garch": 6,
+}
+
+
+def _subst_weights(kernel_id, aux, w):
+    """aux with the portfolio-weights element replaced by `w` (traced)."""
+    i = _WEIGHTS_POS[kernel_id[0]]
+    return aux[:i] + (jnp.asarray(w, jnp.asarray(aux[i]).dtype),)         + aux[i + 1:]
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_id", "quirks", "T"))
+def _device_full_solve_portfolios_jit(kernel_id, aux, obj, weights, cfg,
+                                      tolerance, T, quirks):
+    """Portfolio-batch twin of `_device_full_solve_levels_jit`: row l of
+    the (L,) obj / (L, dim) weights batch solves with ITS OWN half-space
+    weights — the bounds-invariant kernel caches (day tensors, transform
+    columns, dim-3 caches) are all weight-independent, so L portfolios
+    share one prepared state and one dispatch. Returns
+    (roots (L, T), nan_days (L, T))."""
+    dt = jnp.result_type(cfg.dtype, jnp.float32)
+
+    def sweep_l(b, w):
+        return _call_integral_kernel(
+            kernel_id, b, _subst_weights(kernel_id, aux, w)
+        )
+
+    stage1 = jnp.stack(
+        [jnp.full((T,), -100.0, dt),
+         jnp.broadcast_to(cfg[0], (T,)).astype(dt)], axis=-1,
+    )
+    L = obj.shape[0]
+    per = [
+        bracket_state_jnp(
+            sweep_l(stage1, weights[lev]), obj[lev],
+            lambda b, lev=lev: sweep_l(b, weights[lev]), cfg, quirks,
+        )
+        for lev in range(L)
+    ]
+    lower = jnp.stack([p[0] for p in per]).astype(dt)
+    upper = jnp.stack([p[1] for p in per]).astype(dt)
+    prev_res = jnp.stack([p[2] for p in per]).astype(dt)
+    prev_up = jnp.stack([p[3] for p in per]).astype(dt)
+    ustack = jnp.stack([p[4] for p in per])
+    nan_days = jnp.stack([p[5] for p in per])
+    obj2 = obj[:, None].astype(dt)
+    tol = jnp.asarray(tolerance, dt)
+
+    def cond(state):
+        lo, up, _, _, _, brk = state
+        return jnp.any((up - lo > tol) & ~brk[:, None])
+
+    def body(state):
+        lo, up, pr, pu, us, brk = state
+        mid = (lo + up) / 2.0
+        b_lo = jnp.where(us, lo, mid)
+        b_up = jnp.where(us, mid, up)
+        bounds = jnp.stack((b_lo, b_up), axis=-1)  # (L, T, 2)
+        mid_result = jax.vmap(sweep_l)(bounds, weights)
+        add = b_lo == pu
+        result = jnp.where(add, pr + mid_result, pr - mid_result)
+        zero = jnp.all(result == 0.0, axis=1)
+        us_n = result < obj2
+        lo_n = jnp.where(~us_n, lo, mid)
+        up_n = jnp.where(us_n, up, mid)
+        frozen = (zero | brk)[:, None]
+        keep = lambda new, old: jnp.where(frozen, old, new)
+        return (
+            keep(lo_n, lo), keep(up_n, up), keep(result, pr),
+            keep(mid, pu), keep(us_n, us), brk | zero,
+        )
+
+    state = (lower, upper, prev_res, prev_up, ustack,
+             jnp.zeros((L,), dtype=bool))
+    lo, up, *_ = jax.lax.while_loop(cond, body, state)
+    return (lo + up) / 2.0, nan_days
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_id", "quirks", "T"))
 def _device_full_solve_levels_jit(kernel_id, aux, obj, cfg, tolerance, T,
                                   quirks):
@@ -1317,8 +1404,10 @@ class VaRBacktest:
         HBM stream of the day tensors. Row l equals `calc_var(obj_var)`
         of a backtest whose data carries weights_batch[l] (exactly, in
         interpret mode; plateau-bounded on hardware), including that
-        row's own portfolio mean. engine='pallas'/'sharded_pallas',
-        dim == 2."""
+        row's own portfolio mean. Engines: the fused pallas/
+        sharded_pallas (dim 2) and every stable-kernel engine (xla
+        cached/tcached at any dim, the dim-3 pallas column engine,
+        grid_sharded)."""
         weights_batch = np.atleast_2d(np.asarray(weights_batch, float))
         if weights_batch.shape[1] != self.data.dim:
             raise ValueError(
@@ -1331,22 +1420,49 @@ class VaRBacktest:
             np.atleast_1d(np.asarray(obj_var, dtype=np.float64)),
             (weights_batch.shape[0],),
         ).copy()
-        if not (self.engine in ("pallas", "sharded_pallas")
-                and self.data.dim == 2):
-            raise ValueError(
-                "calc_var_portfolios requires engine='pallas' or "
-                "'sharded_pallas' at dim == 2 (the fused level-batch "
-                "kernel)"
-            )
         t0 = time.time()
-        self._cached_integral_fn()
-        roots, nan_days = self._solve_fused_full(
-            obj_arr, first_guess, second_guess,
-            tolerance, min_var_value, max_var_value,
-            weights=weights_batch,
-        )
+        if self.engine in ("pallas", "sharded_pallas") \
+                and self.data.dim == 2:
+            self._cached_integral_fn()
+            roots, nan_days = self._solve_fused_full(
+                obj_arr, first_guess, second_guess,
+                tolerance, min_var_value, max_var_value,
+                weights=weights_batch,
+            )
+            nanm = np.broadcast_to(nan_days[None, :], roots.shape)
+        elif self.engine not in ("sharded", "sharded_pallas"):
+            # any engine with a recognized stable kernel (xla cached/
+            # tcached incl. dim >= 3, the dim-3 pallas column engine,
+            # grid_sharded): the portfolio batch runs through
+            # `_device_full_solve_portfolios_jit`
+            self._cached_integral_fn()
+            kern = getattr(self, "_integral_kernel", None)
+            if kern is None:
+                raise ValueError(
+                    "calc_var_portfolios needs a fused engine (pallas/"
+                    "sharded_pallas dim 2) or a recognized stable "
+                    "integral kernel (xla / pallas dim 3 / grid_sharded)"
+                )
+            kernel_id, aux = kern
+            cfg = np.array(
+                [first_guess, second_guess[0], second_guess[1],
+                 min_var_value, max_var_value], dtype=np.float64,
+            )
+            roots, nanm = _device_full_solve_portfolios_jit(
+                kernel_id, aux, jnp.asarray(obj_arr),
+                jnp.asarray(weights_batch), jnp.asarray(cfg), tolerance,
+                self.data.out_sample_n, bool(self.reference_quirks),
+            )
+            roots, nanm = jax.device_get((roots, nanm))
+            roots, nanm = np.asarray(roots), np.asarray(nanm)
+        else:
+            raise ValueError(
+                "calc_var_portfolios is not available for the "
+                "day-sharded engines at dim != 2 yet; use "
+                "engine='pallas'/'xla'/'grid_sharded'"
+            )
         self.last_solve_dispatches = 1
-        final = np.where(nan_days[None, :], np.nan, roots)
+        final = np.where(nanm, np.nan, roots)
         self.solve_seconds = time.time() - t0
         ptf_means = np.asarray(self.data.in_sample_mean) @ weights_batch.T
         return final + ptf_means[:, None]

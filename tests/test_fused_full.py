@@ -165,10 +165,13 @@ def test_calc_var_portfolios_matches_per_weight_backtests(data):
         np.testing.assert_allclose(out[l], bt_l.calc_var(0.05), atol=1e-6)
 
 
-def test_calc_var_portfolios_rejects_wrong_engine(data):
-    bt = _build(data, "xla")
-    with pytest.raises(ValueError, match="pallas"):
+def test_calc_var_portfolios_rejects_unsupported_engine(data):
+    bt = _build(data, "sharded")  # day-sharded GSPMD: not wired yet
+    with pytest.raises(ValueError, match="portfolios"):
         bt.calc_var_portfolios(np.array([[0.5, 0.5]]))
+    bt2 = _build(data, "xla")
+    with pytest.raises(ValueError, match="weights_batch"):
+        bt2.calc_var_portfolios(np.array([[0.5, 0.3, 0.2]]))
 
 
 def test_calc_var_portfolios_sharded_pallas(data):
@@ -193,3 +196,41 @@ def test_calc_var_portfolios_per_row_alpha(data):
     v5 = bt.calc_var(0.05)
     np.testing.assert_allclose(out[0], v1, atol=1e-6)
     np.testing.assert_allclose(out[1], v5, atol=1e-6)
+
+
+def test_calc_var_portfolios_xla_engine(data):
+    """Portfolio batches on the f64 parity engine (kernel-id path): each
+    row equals a per-weight xla backtest EXACTLY (same f64 ops)."""
+    W = np.array([[0.5, 0.5], [0.8, 0.2]])
+    bt = _build(data, "xla")
+    out = bt.calc_var_portfolios(W, obj_var=0.05)
+    for l in range(2):
+        d_l = returns_mod.from_returns(
+            data.returns, n_insample=data.n_insample, weights=W[l]
+        )
+        bt_l = create_var_backtest(
+            d_l, "garch", "gaussian", engine="xla", p_max=1, q_max=1,
+            num_points=40, model_fits_override=bt.model_fits,
+            copula_fit_override=bt.copula_fit,
+        )
+        np.testing.assert_allclose(out[l], bt_l.calc_var(0.05), atol=1e-12)
+
+
+def test_calc_var_portfolios_dim3(rng):
+    """3-asset portfolio batch through the xla tcached kernel path."""
+    n_total, N = 140, 120
+    rets = rng.standard_normal((n_total, 3)) * (
+        1.0 + 0.3 * np.abs(np.sin(np.arange(n_total) / 11.0))[:, None]
+    )
+    data3 = returns_mod.from_returns(rets, n_insample=N)
+    bt = create_var_backtest(data3, "garch", "gaussian", engine="xla",
+                             p_max=1, q_max=1, num_points=16)
+    W = np.array([[1 / 3, 1 / 3, 1 / 3], [0.6, 0.2, 0.2]])
+    out = bt.calc_var_portfolios(W)
+    assert out.shape == (2, data3.out_sample_n)
+    d_l = returns_mod.from_returns(rets, n_insample=N, weights=W[1])
+    bt_l = create_var_backtest(d_l, "garch", "gaussian", engine="xla",
+                               p_max=1, q_max=1, num_points=16,
+                               model_fits_override=bt.model_fits,
+                               copula_fit_override=bt.copula_fit)
+    np.testing.assert_allclose(out[1], bt_l.calc_var(0.05), atol=1e-12)
