@@ -1455,10 +1455,29 @@ class VaRBacktest:
             )
             roots, nanm = jax.device_get((roots, nanm))
             roots, nanm = np.asarray(roots), np.asarray(nanm)
+        elif self.engine == "sharded" and self.data.dim == 2:
+            # day-sharded GSPMD portfolio batch: one dispatch against
+            # the shared sharded day tensors
+            from copula_var_tpu.parallel import quadrature as pq
+
+            self._cached_integral_fn()
+            inputs = self.integration_inputs
+            is_msm = isinstance(inputs, MsmIntegrationInputs)
+            roots, nanm = pq.sharded_full_solve_portfolios(
+                self._get_mesh(), self._cached_tensors,
+                getattr(self, "_cached_fcombos", None) if is_msm else None,
+                inputs.densities if is_msm else None,
+                inputs.x, inputs.dx, weights_batch, obj_arr,
+                first_guess, tuple(second_guess), tolerance,
+                min_var_value, max_var_value, box_min=self.box[0],
+                reference_quirks=self.reference_quirks,
+                T=self.data.out_sample_n,
+            )
+            roots, nanm = np.asarray(roots), np.asarray(nanm)
         else:
             raise ValueError(
                 "calc_var_portfolios is not available for the "
-                "day-sharded engines at dim != 2 yet; use "
+                "day-sharded engines at dim >= 3 yet; use "
                 "engine='pallas'/'xla'/'grid_sharded'"
             )
         self.last_solve_dispatches = 1

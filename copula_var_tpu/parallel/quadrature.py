@@ -270,6 +270,127 @@ def _full_solve_levels_gspmd_jit(tensors, fcombos, densities, x, dx,
     return roots, nan_days
 
 
+@functools.partial(jax.jit, static_argnames=("is_msm", "quirks", "Tp"))
+def _full_solve_portfolios_gspmd_jit(tensors, fcombos, densities, x, dx,
+                                     weights, obj, cfg, tolerance,
+                                     box_min, is_msm, quirks, Tp):
+    """Portfolio-batch twin of `_full_solve_levels_gspmd_jit`: row l of
+    the (L, dim) weights / (L,) obj batch masks with ITS OWN half-space
+    weights against the shared day-sharded tensors. One GSPMD dispatch;
+    returns (roots (L, Tp), nan_days (L, Tp))."""
+    from copula_var_tpu.ops.quadrature import (
+        garch_integrals_cached,
+        msm_integrals_cached,
+    )
+    from copula_var_tpu.ops.solvers import bracket_state_jnp
+
+    if is_msm:
+        def integral_w(b, w):
+            return msm_integrals_cached(
+                b, tensors, fcombos, x, dx, densities, w, box_min
+            )
+    else:
+        def integral_w(b, w):
+            return garch_integrals_cached(b, tensors, x, dx, w, box_min)
+
+    dt = jnp.result_type(cfg.dtype, jnp.float32)
+    stage1 = jnp.stack(
+        [jnp.full((Tp,), -100.0, dt),
+         jnp.broadcast_to(cfg[0], (Tp,)).astype(dt)], axis=-1,
+    )
+    L = obj.shape[0]
+    per = [
+        bracket_state_jnp(
+            integral_w(stage1, weights[lev]), obj[lev],
+            lambda b, lev=lev: integral_w(b, weights[lev]), cfg, quirks,
+        )
+        for lev in range(L)
+    ]
+    lower = jnp.stack([p[0] for p in per]).astype(dt)
+    upper = jnp.stack([p[1] for p in per]).astype(dt)
+    prev_res = jnp.stack([p[2] for p in per]).astype(dt)
+    prev_up = jnp.stack([p[3] for p in per]).astype(dt)
+    ustack = jnp.stack([p[4] for p in per])
+    nan_days = jnp.stack([p[5] for p in per])
+    obj2 = obj[:, None].astype(dt)
+    tol = jnp.asarray(tolerance, dt)
+
+    def cond(state):
+        lo, up, _, _, _, brk = state
+        return jnp.any((up - lo > tol) & ~brk[:, None])
+
+    def body(state):
+        lo, up, pr, pu, us, brk = state
+        mid = (lo + up) / 2.0
+        b_lo = jnp.where(us, lo, mid)
+        b_up = jnp.where(us, mid, up)
+        bounds = jnp.stack((b_lo, b_up), axis=-1)
+        mid_result = jax.vmap(integral_w)(bounds, weights)
+        add = b_lo == pu
+        result = jnp.where(add, pr + mid_result, pr - mid_result)
+        zero = jnp.all(result == 0.0, axis=1)
+        us_n = result < obj2
+        lo_n = jnp.where(~us_n, lo, mid)
+        up_n = jnp.where(us_n, up, mid)
+        frozen = (zero | brk)[:, None]
+        keep = lambda new, old: jnp.where(frozen, old, new)
+        return (
+            keep(lo_n, lo), keep(up_n, up), keep(result, pr),
+            keep(mid, pu), keep(us_n, us), brk | zero,
+        )
+
+    state = (lower, upper, prev_res, prev_up, ustack,
+             jnp.zeros((L,), dtype=bool))
+    lo, up, *_ = jax.lax.while_loop(cond, body, state)
+    return (lo + up) / 2.0, nan_days
+
+
+def sharded_full_solve_portfolios(mesh: Mesh, day_tensors, fcombos,
+                                  densities, x, dx, weights_batch,
+                                  obj_vars, first_guess, second_guess,
+                                  tolerance, min_var_value, max_var_value,
+                                  box_min=-5.0, reference_quirks=False,
+                                  T=None):
+    """engine='sharded' (dim 2) portfolio batch in ONE GSPMD dispatch."""
+    from copula_var_tpu.parallel.multiprocess import fetch, put_global
+
+    d = NamedSharding(mesh, P("days"))
+    n_dev = mesh.shape["days"]
+    obj_vars = jnp.atleast_1d(jnp.asarray(obj_vars))
+    is_msm = densities is not None
+    if T is None:
+        T = int(
+            (jnp.asarray(fcombos) if is_msm else
+             jnp.asarray(day_tensors)).shape[0]
+        )
+    Tp = T + ((-T) % n_dev)
+    tensors_s = (
+        put_global(day_tensors, d)
+        if isinstance(day_tensors, jax.Array) and day_tensors.shape[0] == Tp
+        else put_global(pad_days(jnp.asarray(day_tensors), n_dev), d)
+    )
+    if is_msm:
+        fcombos_s = (
+            put_global(fcombos, d)
+            if isinstance(fcombos, jax.Array) and fcombos.shape[0] == Tp
+            else put_global(pad_days(jnp.asarray(fcombos), n_dev), d)
+        )
+        densities = jnp.asarray(densities)
+    else:
+        fcombos_s = jnp.zeros(())
+        densities = jnp.zeros(())
+    cfg = jnp.asarray(
+        np.array([first_guess, second_guess[0], second_guess[1],
+                  min_var_value, max_var_value], dtype=np.float64)
+    )
+    roots, nan_days = _full_solve_portfolios_gspmd_jit(
+        tensors_s, fcombos_s, densities, jnp.asarray(x), jnp.asarray(dx),
+        jnp.asarray(weights_batch), obj_vars, cfg, tolerance, box_min,
+        is_msm, bool(reference_quirks), int(Tp),
+    )
+    return fetch(roots)[:, :T], fetch(nan_days)[:, :T]
+
+
 def sharded_full_solve_levels(mesh: Mesh, day_tensors, fcombos, densities,
                               x, dx, weights, obj_vars, first_guess,
                               second_guess, tolerance, min_var_value,

@@ -165,10 +165,18 @@ def test_calc_var_portfolios_matches_per_weight_backtests(data):
         np.testing.assert_allclose(out[l], bt_l.calc_var(0.05), atol=1e-6)
 
 
-def test_calc_var_portfolios_rejects_unsupported_engine(data):
-    bt = _build(data, "sharded")  # day-sharded GSPMD: not wired yet
-    with pytest.raises(ValueError, match="portfolios"):
-        bt.calc_var_portfolios(np.array([[0.5, 0.5]]))
+def test_calc_var_portfolios_sharded_gspmd(data):
+    """Portfolio batch on the day-sharded GSPMD engine: f64-exact vs the
+    xla kernel-path batch on the 8-device mesh."""
+    W = np.array([[0.5, 0.5], [0.8, 0.2]])
+    want = _build(data, "xla").calc_var_portfolios(W)
+    bt = _build(data, "sharded")
+    got = bt.calc_var_portfolios(W)
+    assert bt.last_solve_dispatches == 1
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_calc_var_portfolios_rejects_bad_inputs(data):
     bt2 = _build(data, "xla")
     with pytest.raises(ValueError, match="weights_batch"):
         bt2.calc_var_portfolios(np.array([[0.5, 0.3, 0.2]]))
