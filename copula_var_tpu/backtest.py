@@ -1474,11 +1474,39 @@ class VaRBacktest:
                 T=self.data.out_sample_n,
             )
             roots, nanm = np.asarray(roots), np.asarray(nanm)
+        elif (self.engine == "sharded"
+              and getattr(self, "_sharded_tcached", None) is None):
+            # cache not built yet: build it, then retry the dispatch
+            self._cached_integral_fn()
+            return self.calc_var_portfolios(
+                weights_batch, obj_var=obj_arr, first_guess=first_guess,
+                second_guess=second_guess, tolerance=tolerance,
+                min_var_value=min_var_value, max_var_value=max_var_value,
+            )
+        elif self.engine == "sharded":
+            # dim >= 3 day-sharded transform columns: weights only shape
+            # the half-space mask, so the shard_map portfolio program
+            # masks row l with weights[l] against the shared columns
+            from copula_var_tpu.parallel import quadrature as pq
+
+            inputs = self.integration_inputs
+            stt = self._sharded_tcached
+            roots, nanm = pq.sharded_tcached_full_solve_levels(
+                self._get_mesh(), stt["cols_s"], stt["fcombos_s"],
+                stt["densities"], inputs.x, inputs.dx, weights_batch,
+                obj_arr, first_guess, tuple(second_guess), tolerance,
+                min_var_value, max_var_value, spec=self.copula_spec,
+                family=stt["family"], day_batch=stt["day_batch"],
+                box_min=self.box[0],
+                reference_quirks=self.reference_quirks,
+                T=self.data.out_sample_n, portfolios=True,
+            )
+            roots, nanm = np.asarray(roots), np.asarray(nanm)
         else:
             raise ValueError(
-                "calc_var_portfolios is not available for the "
-                "day-sharded engines at dim >= 3 yet; use "
-                "engine='pallas'/'xla'/'grid_sharded'"
+                "calc_var_portfolios is not available for "
+                "engine='sharded_pallas' at dim >= 3; use "
+                "engine='sharded'/'pallas'/'xla'/'grid_sharded'"
             )
         self.last_solve_dispatches = 1
         final = np.where(nanm, np.nan, roots)

@@ -1073,14 +1073,100 @@ def _spmd_full_solve_levels(integral, obj, cfg, tol, T_loc, quirks):
     return roots, nan_days
 
 
+def _spmd_full_solve_portfolios(integral_w, obj, weights, cfg, tol,
+                                T_loc, quirks):
+    """Per-shard portfolio-batch solve: like `_spmd_full_solve_levels`
+    but row l masks with weights[l] (`integral_w(bounds, w)`)."""
+    from copula_var_tpu.ops.solvers import bracket_state_jnp
+
+    dt = jnp.result_type(cfg.dtype, jnp.float32)
+    stage1 = jnp.stack(
+        [jnp.full((T_loc,), -100.0, dt),
+         jnp.broadcast_to(cfg[0], (T_loc,)).astype(dt)], axis=-1,
+    )
+    L = obj.shape[0]
+    per = [
+        bracket_state_jnp(
+            integral_w(stage1, weights[lev]), obj[lev],
+            lambda b, lev=lev: integral_w(b, weights[lev]), cfg, quirks,
+        )
+        for lev in range(L)
+    ]
+    state0 = (
+        jnp.stack([p[0] for p in per]).astype(dt),
+        jnp.stack([p[1] for p in per]).astype(dt),
+        jnp.stack([p[2] for p in per]).astype(dt),
+        jnp.stack([p[3] for p in per]).astype(dt),
+        jnp.stack([p[4] for p in per]),
+    )
+    nan_days = jnp.stack([p[5] for p in per])
+
+    def gany(flag):
+        return jax.lax.pmax(flag.astype(jnp.int32), "days") > 0
+
+    def gall(v):
+        return jax.lax.pmin(v.astype(jnp.int32), "days") > 0
+
+    obj2 = obj[:, None].astype(dt)
+    tolv = jnp.asarray(tol, dt)
+
+    def live(st):
+        lo, up, _, _, _, brk = st
+        return gany(jnp.any((up - lo > tolv) & ~brk[:, None]))
+
+    def body_once(st):
+        lo, up, pr, pu, us, brk = st
+        mid = (lo + up) / 2.0
+        b_lo = jnp.where(us, lo, mid)
+        b_up = jnp.where(us, mid, up)
+        bounds = jnp.stack((b_lo, b_up), axis=-1)
+        mid_result = jax.vmap(integral_w)(bounds, weights)
+        add = b_lo == pu
+        result = jnp.where(add, pr + mid_result, pr - mid_result)
+        zero = gall(jnp.all(result == 0.0, axis=1))
+        us_n = result < obj2
+        lo_n = jnp.where(~us_n, lo, mid)
+        up_n = jnp.where(us_n, up, mid)
+        frozen = (zero | brk)[:, None]
+        keep = lambda new, old: jnp.where(frozen, old, new)
+        return (
+            keep(lo_n, lo), keep(up_n, up), keep(result, pr),
+            keep(mid, pu), keep(us_n, us), brk | zero,
+        )
+
+    L = state0[0].shape[0]
+    st0 = state0 + (jnp.zeros((L,), dtype=bool),)
+
+    def loop_body(c):
+        st_n = body_once(c[0])
+        return st_n, ~live(st_n)
+
+    st, _ = jax.lax.while_loop(lambda c: ~c[1], loop_body,
+                               (st0, ~live(st0)))
+    return (st[0] + st[1]) / 2.0, nan_days
+
+
 @functools.lru_cache(maxsize=32)
-def _tcached_full_program(mesh, family, kind, day_batch, box_min, quirks):
+def _tcached_full_program(mesh, family, kind, day_batch, box_min, quirks,
+                          portfolios=False):
     """ONE-dispatch transform-column solve: shard_map of (stage sweeps +
-    bracketing + bisection) over 'days'."""
+    bracketing + bisection) over 'days'. With portfolios=True the
+    replicated `weights` arg is a (L, dim) batch and row l masks with
+    its own weights (the transform columns are weight-independent)."""
 
     def local(cols, fcombos, densities, x, dx, weights, params, obj, cfg,
               tol):
         T_loc = jnp.asarray(fcombos).shape[0]
+        if portfolios:
+            def integral_w(b, w):
+                return _tcached_integral_fn(
+                    family, kind, day_batch, box_min, cols, fcombos,
+                    densities, x, dx, w, params,
+                )(b)
+
+            return _spmd_full_solve_portfolios(
+                integral_w, obj, weights, cfg, tol, T_loc, quirks
+            )
         integral = _tcached_integral_fn(family, kind, day_batch, box_min,
                                         cols, fcombos, densities, x, dx,
                                         weights, params)
@@ -1100,10 +1186,11 @@ def sharded_tcached_full_solve_levels(
     mesh, cols_s, fcombos_s, densities, x, dx, weights, obj_vars,
     first_guess, second_guess, tolerance, min_var_value, max_var_value,
     spec: CopulaSpec, family, day_batch, box_min=-5.0,
-    reference_quirks=False, T=None,
+    reference_quirks=False, T=None, portfolios=False,
 ):
     """engine='sharded' at dim >= 3 in ONE dispatch. cols_s/fcombos_s
-    pre-placed via `_tcached_place`; T = unpadded day count."""
+    pre-placed via `_tcached_place`; T = unpadded day count.
+    portfolios=True: `weights` is a (L, dim) batch, one row per level."""
     from copula_var_tpu.parallel.multiprocess import fetch
 
     obj_vars = jnp.atleast_1d(jnp.asarray(obj_vars))
@@ -1115,7 +1202,8 @@ def sharded_tcached_full_solve_levels(
     )
     dens = jnp.zeros(()) if densities is None else jnp.asarray(densities)
     f = _tcached_full_program(mesh, family, spec.kind, int(day_batch),
-                              float(box_min), bool(reference_quirks))
+                              float(box_min), bool(reference_quirks),
+                              bool(portfolios))
     roots, nan_days = f(
         cols_s, fcombos_s, dens, jnp.asarray(x), jnp.asarray(dx),
         jnp.asarray(weights), spec.params, obj_vars, cfg,

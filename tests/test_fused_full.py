@@ -242,3 +242,25 @@ def test_calc_var_portfolios_dim3(rng):
                                model_fits_override=bt.model_fits,
                                copula_fit_override=bt.copula_fit)
     np.testing.assert_allclose(out[1], bt_l.calc_var(0.05), atol=1e-12)
+
+
+def test_calc_var_portfolios_sharded_dim3(rng):
+    """Portfolio batch on the dim-3 day-sharded transform-column engine:
+    f64-exact vs the xla kernel-path batch on the 8-device mesh."""
+    n_total, N = 140, 120
+    rets = rng.standard_normal((n_total, 3)) * (
+        1.0 + 0.3 * np.abs(np.sin(np.arange(n_total) / 11.0))[:, None]
+    )
+    data3 = returns_mod.from_returns(rets, n_insample=N)
+    bt_x = create_var_backtest(data3, "garch", "gaussian", engine="xla",
+                               p_max=1, q_max=1, num_points=16)
+    W = np.array([[1 / 3, 1 / 3, 1 / 3], [0.6, 0.2, 0.2]])
+    want = bt_x.calc_var_portfolios(W)
+    bt_s = create_var_backtest(data3, "garch", "gaussian",
+                               engine="sharded", p_max=1, q_max=1,
+                               num_points=16,
+                               model_fits_override=bt_x.model_fits,
+                               copula_fit_override=bt_x.copula_fit)
+    got = bt_s.calc_var_portfolios(W)
+    assert bt_s.last_solve_dispatches == 1
+    np.testing.assert_allclose(got, want, atol=1e-12)
