@@ -1502,11 +1502,25 @@ class VaRBacktest:
                 T=self.data.out_sample_n, portfolios=True,
             )
             roots, nanm = np.asarray(roots), np.asarray(nanm)
+        elif (self.engine == "sharded_pallas" and self.data.dim == 3):
+            from copula_var_tpu.parallel import quadrature as pq
+
+            self._cached_integral_fn()
+            st3 = self._sharded_dim3
+            roots, nanm = pq.sharded_dim3_pallas_full_solve_levels(
+                self._get_mesh(), st3["day_leaves_s"], st3["shared"],
+                obj_arr, first_guess, tuple(second_guess), tolerance,
+                min_var_value, max_var_value, family=st3["family"],
+                kind=st3["kind"], interpret=st3["interpret"],
+                box_min=self.box[0],
+                reference_quirks=self.reference_quirks,
+                T=self.data.out_sample_n, weights_batch=weights_batch,
+            )
+            roots, nanm = np.asarray(roots), np.asarray(nanm)
         else:
             raise ValueError(
-                "calc_var_portfolios is not available for "
-                "engine='sharded_pallas' at dim >= 3; use "
-                "engine='sharded'/'pallas'/'xla'/'grid_sharded'"
+                f"calc_var_portfolios: unsupported engine/dim "
+                f"combination ({self.engine!r}, dim={self.data.dim})"
             )
         self.last_solve_dispatches = 1
         final = np.where(nanm, np.nan, roots)

@@ -1214,11 +1214,14 @@ def sharded_tcached_full_solve_levels(
 
 @functools.lru_cache(maxsize=32)
 def _dim3_pallas_full_program(mesh, family, kind, interpret, box_min,
-                              quirks):
+                              quirks, portfolios=False):
     """ONE-dispatch dim-3 Pallas column solve: shard_map of (stage
-    sweeps + bracketing + bisection) over 'days'."""
+    sweeps + bracketing + bisection) over 'days'. With portfolios=True
+    the `obj` arg arrives with a (L, 3) weights batch and row l masks
+    with its own weights (the column cache is weight-independent: the
+    kernel reads weights per call from its bounds rows)."""
 
-    def local(day_leaves, shared_leaves, obj, cfg, tol):
+    def local(day_leaves, shared_leaves, obj, cfg, tol, wbatch):
         from copula_var_tpu.ops.pallas_quadrature3 import (
             Dim3Cache,
             dim3_integrals_pallas,
@@ -1226,18 +1229,30 @@ def _dim3_pallas_full_program(mesh, family, kind, interpret, box_min,
 
         z, fin, lu, p, g = day_leaves
         x, w1, w2, consts, weights = shared_leaves
+        T_loc = z.shape[0]
+        if portfolios:
+            def integral_w(b, w):
+                cache = Dim3Cache(x, z, fin, lu, p, w1, w2, g, consts,
+                                  jnp.asarray(w, x.dtype))
+                return dim3_integrals_pallas(
+                    b, cache, family=family, kind=kind,
+                    interpret=interpret, box_min=box_min,
+                )
+
+            return _spmd_full_solve_portfolios(
+                integral_w, obj, wbatch, cfg, tol, T_loc, quirks
+            )
         cache = Dim3Cache(x, z, fin, lu, p, w1, w2, g, consts, weights)
         integral = lambda b: dim3_integrals_pallas(
             b, cache, family=family, kind=kind, interpret=interpret,
             box_min=box_min,
         )
-        T_loc = z.shape[0]
         return _spmd_full_solve_levels(integral, obj, cfg, tol, T_loc,
                                        quirks)
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("days"), P(), P(), P(), P()),
+        in_specs=(P("days"), P(), P(), P(), P(), P()),
         out_specs=(P(None, "days"), P(None, "days")),
         check_vma=False,
     ))
@@ -1247,8 +1262,10 @@ def sharded_dim3_pallas_full_solve_levels(
     mesh, day_leaves_s, shared_leaves, obj_vars, first_guess,
     second_guess, tolerance, min_var_value, max_var_value, family, kind,
     interpret=False, box_min=-5.0, reference_quirks=False, T=None,
+    weights_batch=None,
 ):
-    """engine='sharded_pallas' at dim 3 in ONE dispatch."""
+    """engine='sharded_pallas' at dim 3 in ONE dispatch. weights_batch
+    (L, 3): portfolio mode — row l masks with its own weights."""
     from copula_var_tpu.parallel.multiprocess import fetch
 
     obj_vars = jnp.atleast_1d(jnp.asarray(obj_vars))
@@ -1258,10 +1275,14 @@ def sharded_dim3_pallas_full_solve_levels(
         np.array([first_guess, second_guess[0], second_guess[1],
                   min_var_value, max_var_value], dtype=np.float64)
     )
-    f = _dim3_pallas_full_program(mesh, family, kind, bool(interpret),
-                                  float(box_min), bool(reference_quirks))
+    f = _dim3_pallas_full_program(
+        mesh, family, kind, bool(interpret), float(box_min),
+        bool(reference_quirks), weights_batch is not None,
+    )
+    wb = (jnp.zeros((obj_vars.shape[0], 3)) if weights_batch is None
+          else jnp.asarray(weights_batch))
     roots, nan_days = f(day_leaves_s, shared_leaves, obj_vars, cfg,
-                        jnp.asarray(tolerance))
+                        jnp.asarray(tolerance), wb)
     return fetch(roots)[:, :T], fetch(nan_days)[:, :T]
 
 

@@ -264,3 +264,27 @@ def test_calc_var_portfolios_sharded_dim3(rng):
     got = bt_s.calc_var_portfolios(W)
     assert bt_s.last_solve_dispatches == 1
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_calc_var_portfolios_sharded_pallas_dim3(rng):
+    """Portfolio batch on the dim-3 day-sharded Pallas column engine
+    (interpret on the CPU mesh): exact vs the single-chip dim-3 pallas
+    kernel-path batch."""
+    n_total, N = 140, 120
+    rets = rng.standard_normal((n_total, 3)) * (
+        1.0 + 0.3 * np.abs(np.sin(np.arange(n_total) / 11.0))[:, None]
+    )
+    data3 = returns_mod.from_returns(rets, n_insample=N)
+    W = np.array([[1 / 3, 1 / 3, 1 / 3], [0.6, 0.2, 0.2]])
+    bt_p = create_var_backtest(data3, "garch", "gaussian",
+                               engine="pallas", p_max=1, q_max=1,
+                               num_points=16)
+    want = bt_p.calc_var_portfolios(W)
+    bt_sp = create_var_backtest(data3, "garch", "gaussian",
+                                engine="sharded_pallas", p_max=1,
+                                q_max=1, num_points=16,
+                                model_fits_override=bt_p.model_fits,
+                                copula_fit_override=bt_p.copula_fit)
+    got = bt_sp.calc_var_portfolios(W)
+    assert bt_sp.last_solve_dispatches == 1
+    np.testing.assert_allclose(got, want, atol=1e-6)
