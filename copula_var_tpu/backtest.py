@@ -43,7 +43,7 @@ from copula_var_tpu.ops.quadrature import (
     garch_integrals,
     msm_integrals,
 )
-from copula_var_tpu.ops.solvers import bracket_state_jnp
+from copula_var_tpu.ops.solvers import bracket_state_batched
 from copula_var_tpu.ops.special import norm_cdf, norm_pdf
 
 VOL_STATE_ROUND_TOL = 1e-6  # `msm_estimation.py:204-248`
@@ -178,19 +178,17 @@ def _device_full_solve_portfolios_jit(kernel_id, aux, obj, weights, cfg,
          jnp.broadcast_to(cfg[0], (T,)).astype(dt)], axis=-1,
     )
     L = obj.shape[0]
-    per = [
-        bracket_state_jnp(
-            sweep_l(stage1, weights[lev]), obj[lev],
-            lambda b, lev=lev: sweep_l(b, weights[lev]), cfg, quirks,
-        )
-        for lev in range(L)
-    ]
-    lower = jnp.stack([p[0] for p in per]).astype(dt)
-    upper = jnp.stack([p[1] for p in per]).astype(dt)
-    prev_res = jnp.stack([p[2] for p in per]).astype(dt)
-    prev_up = jnp.stack([p[3] for p in per]).astype(dt)
-    ustack = jnp.stack([p[4] for p in per])
-    nan_days = jnp.stack([p[5] for p in per])
+    # stage-1 + stage-2 as TWO batched (L, T, 2) sweeps — not 2L
+    # sequential per-row streams of the day tensors (r04 weak #5)
+    F1 = jax.vmap(sweep_l)(
+        jnp.broadcast_to(stage1, (L,) + stage1.shape), weights
+    )
+    lower, upper, prev_res, prev_up, ustack, nan_days = bracket_state_batched(
+        F1, obj.astype(F1.dtype),
+        lambda b: jax.vmap(sweep_l)(b, weights), cfg, quirks,
+    )
+    lower, upper = lower.astype(dt), upper.astype(dt)
+    prev_res, prev_up = prev_res.astype(dt), prev_up.astype(dt)
     obj2 = obj[:, None].astype(dt)
     tol = jnp.asarray(tolerance, dt)
 
@@ -243,16 +241,14 @@ def _device_full_solve_levels_jit(kernel_id, aux, obj, cfg, tolerance, T,
     )
     F1 = sweep(stage1)
     L = obj.shape[0]
-    per = [bracket_state_jnp(F1, obj[lev], sweep, cfg, quirks)
-           for lev in range(L)]
-    lower = jnp.stack([p[0] for p in per]).astype(dt)
-    upper = jnp.stack([p[1] for p in per]).astype(dt)
-    prev_res = jnp.stack([p[2] for p in per]).astype(dt)
-    prev_up = jnp.stack([p[3] for p in per]).astype(dt)
-    ustack = jnp.stack([p[4] for p in per])
-    nan_days = jnp.stack([p[5] for p in per])
+    # all L stage-2 refinements in ONE batched sweep (r04 weak #5)
+    lower, upper, prev_res, prev_up, ustack, nan_days = bracket_state_batched(
+        jnp.broadcast_to(F1, (L,) + F1.shape), obj.astype(F1.dtype),
+        jax.vmap(sweep), cfg, quirks,
+    )
     roots = _device_bisection_levels_jit.__wrapped__(
-        kernel_id, aux, lower, upper, prev_res, prev_up, ustack,
+        kernel_id, aux, lower.astype(dt), upper.astype(dt),
+        prev_res.astype(dt), prev_up.astype(dt), ustack,
         obj[:, None].astype(dt), jnp.asarray(tolerance, dt),
     )
     return roots, nan_days
@@ -354,6 +350,85 @@ class GarchIntegrationInputs(NamedTuple):
     forecast_vols: np.ndarray  # (T, dim)
 
 
+# -- asset-batched prep programs (VERDICT r04 next #1) ----------------------
+#
+# The reference fits, filters, and forecasts one ticker at a time
+# (`utils/calc_var_class.py:60-63`, `msm_estimation.py:55-120`); over a
+# remote-TPU tunnel each per-asset device program costs a full dispatch.
+# These module-level programs put the asset axis on a vmap: ONE dispatch
+# covers every asset's marginals/densities and window forecasts.
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_asset_programs(k: int):
+    """(marg_dens, forecasts): stable-identity per-k batched programs.
+    params_a rows are [m_0, sigma, b, gamma]."""
+
+    @jax.jit
+    def marg_dens(params_a, r_a):  # (A, 4), (A, N)
+        def one(p, r):
+            marg, _, _ = msm_mod.marginals(k, p[0], p[1], p[2], p[3], r)
+            dens = msm_mod.densities(k, p[0], p[1], p[2], p[3], r)
+            return marg, dens
+
+        return jax.vmap(one)(params_a, r_a)
+
+    @jax.jit
+    def forecasts(params_a, windows_a):  # (A, 4), (A, T, N)
+        def one(p, w):
+            fc = msm_mod.forecast_windows(k, p[0], p[1], p[2], p[3], w)
+            return fc, msm_mod.vol_states(k, p[0], p[1])
+
+        return jax.vmap(one)(params_a, windows_a)
+
+    return marg_dens, forecasts
+
+
+@jax.jit
+def _garch_marg_dens_assets(r_a, omega_a, alpha_a, beta_a):
+    """(A,)-batched GARCH in-sample marginals/densities: Phi(eps), phi(eps)
+    with eps from the variance recursion (`garch_estimation.py:56-119`).
+    alpha_a/beta_a rows are end-zero-padded to a shared lag count —
+    identical recursion (zero coefficients contribute nothing)."""
+
+    def one(r, o, al, be):
+        eps = garch_mod.standardized_residuals(r, o, al, be)
+        return norm_cdf(eps), norm_pdf(eps)
+
+    return jax.vmap(one)(r_a, omega_a, alpha_a, beta_a)
+
+
+@jax.jit
+def _ukf_marg_dens_assets(r_a, a_a, l_a, q_a):
+    """(A,)-batched UKF residual marginals/densities
+    (`mean_reverting_estimation.py:95-106`)."""
+
+    def one(r, a, l, q):
+        eps = ukf_mod.standardized_residuals(r, a, l, q)
+        return norm_cdf(eps), norm_pdf(eps)
+
+    return jax.vmap(one)(r_a, a_a, l_a, q_a)
+
+
+#: GARCH window forecasts for all assets: outer vmap over assets of the
+#: per-window forecast with padded coefficient rows + true (p, q) counts
+#: (preserves the reference's alpha-ordering quirk, `garch/forecast.py`).
+_garch_forecast_windows_assets = jax.jit(
+    jax.vmap(
+        jax.vmap(
+            garch_mod.forecast_vol_padded,
+            in_axes=(0, None, None, None, None, None),
+        ),
+        in_axes=(0, 0, 0, 0, 0, 0),
+    )
+)
+
+#: UKF window forecasts for all assets.
+_ukf_forecast_windows_assets = jax.jit(
+    jax.vmap(ukf_mod.forecast_vol_windows, in_axes=(0, 0, 0, 0))
+)
+
+
 class MsmAdapter:
     """MSM estimation pipeline (`utils/model_estimation/model/
     msm_estimation.py`). `k` is carried explicitly — the reference's
@@ -379,28 +454,32 @@ class MsmAdapter:
         self.reference_quirks = reference_quirks
 
     def fit(self, in_sample: np.ndarray):
-        return [
-            model_fit.fit_msm(
-                in_sample[:, i], self.k, basin_iter=self.basin_iter,
-                step_size=self.step_size, b_values=self.b_values,
-                gamma_weight=self.gamma_weight, b_weight=self.b_weight,
-                seed=self.seed + i, bounds=self.bounds,
-                reference_quirks=self.reference_quirks,
-            )
-            for i in range(in_sample.shape[1])
-        ]
+        # ALL assets' basin hops + polish + final LL in one lockstep
+        # device program (asset i keeps its sequential-loop stream,
+        # PRNGKey(seed + i))
+        return model_fit.fit_msm_batch(
+            in_sample, self.k, basin_iter=self.basin_iter,
+            step_size=self.step_size, b_values=self.b_values,
+            gamma_weight=self.gamma_weight, b_weight=self.b_weight,
+            seed=self.seed, bounds=self.bounds,
+            reference_quirks=self.reference_quirks,
+        )
+
+    @staticmethod
+    def _params_array(fits):
+        return jnp.asarray(
+            [[f.m_0, f.sigma, f.b, f.gamma] for f in fits]
+        )
 
     def marginals_densities(self, in_sample: np.ndarray, fits):
         """Stacked (N-1, dim) marginals/densities (`msm_estimation.py:
-        55-120`; the length drop is the reference's alignment shift)."""
-        mcols, dcols = [], []
-        for i, f in enumerate(fits):
-            r = jnp.asarray(in_sample[:, i])
-            marg, _, _ = msm_mod.marginals(self.k, f.m_0, f.sigma, f.b, f.gamma, r)
-            dens = msm_mod.densities(self.k, f.m_0, f.sigma, f.b, f.gamma, r)
-            mcols.append(np.asarray(marg))
-            dcols.append(np.asarray(dens))
-        return np.stack(mcols, axis=1), np.stack(dcols, axis=1)
+        55-120`; the length drop is the reference's alignment shift).
+        One vmapped dispatch for every asset."""
+        marg, dens = _msm_asset_programs(self.k)[0](
+            self._params_array(fits), jnp.asarray(in_sample.T)
+        )
+        marg, dens = jax.device_get((marg, dens))
+        return np.asarray(marg).T, np.asarray(dens).T
 
     def integration_inputs(self, windows: np.ndarray, fits, num_points: int,
                            box=(-5.0, 5.0)):
@@ -412,14 +491,14 @@ class MsmAdapter:
         `compute_forecast_combinations`, `:368-418`)."""
         T, N, dim = windows.shape
         k = self.k
-        fc_list, vol_list = [], []
-        for i, f in enumerate(fits):
-            w = jnp.asarray(windows[:, :, i])
-            fc = msm_mod.forecast_windows(k, f.m_0, f.sigma, f.b, f.gamma, w)
-            fc_list.append(np.asarray(fc))  # (T, 2^k)
-            vol_list.append(np.asarray(msm_mod.vol_states(k, f.m_0, f.sigma)))
-        forecasts_array = np.stack(fc_list, axis=0)  # (dim, T, 2^k)
-        vol_state_array = np.stack(vol_list, axis=0)  # (dim, 2^k)
+        # all assets' window forecasts + vol states: one vmapped dispatch
+        fc_a, vol_a = _msm_asset_programs(k)[1](
+            self._params_array(fits),
+            jnp.asarray(np.moveaxis(windows, 2, 0)),  # (dim, T, N)
+        )
+        fc_a, vol_a = jax.device_get((fc_a, vol_a))
+        forecasts_array = np.asarray(fc_a)  # (dim, T, 2^k)
+        vol_state_array = np.asarray(vol_a)  # (dim, 2^k)
 
         # collapse to unique (rounded) vol levels per dim
         fbs_per_dim, uniq_per_dim = [], []
@@ -535,40 +614,63 @@ class GarchAdapter:
         self.reference_quirks = reference_quirks
 
     def fit(self, in_sample: np.ndarray):
-        return [
-            model_fit.fit_garch(
-                in_sample[:, i], p_max=self.p_max, q_max=self.q_max,
-                max_iter=self.newton_max_iter, tol=self.newton_tol,
-                eps=self.eps, reference_quirks=self.reference_quirks,
-            )
-            for i in range(in_sample.shape[1])
-        ]
+        # every asset's BIC sweep in one nested-vmap device program
+        return model_fit.fit_garch_batch(
+            in_sample, p_max=self.p_max, q_max=self.q_max,
+            max_iter=self.newton_max_iter, tol=self.newton_tol,
+            eps=self.eps, reference_quirks=self.reference_quirks,
+        )
+
+    @staticmethod
+    def _padded_params(fits):
+        """Shape-stable (A,)-batched parameter arrays: alpha/beta rows
+        end-zero-padded to the panel's max lag counts (identical
+        recursion — zero coefficients contribute nothing) + the true
+        (p, q) per asset for the forecast pairing quirk."""
+        pm = max(len(np.atleast_1d(f.alpha)) for f in fits)
+        qm = max(len(np.atleast_1d(f.beta)) for f in fits)
+        A = len(fits)
+        alpha = np.zeros((A, pm))
+        beta = np.zeros((A, qm))
+        p_arr = np.zeros((A,), dtype=np.int32)
+        q_arr = np.zeros((A,), dtype=np.int32)
+        for i, f in enumerate(fits):
+            a_i = np.atleast_1d(np.asarray(f.alpha))
+            b_i = np.atleast_1d(np.asarray(f.beta))
+            alpha[i, : len(a_i)] = a_i
+            beta[i, : len(b_i)] = b_i
+            p_arr[i], q_arr[i] = len(a_i), len(b_i)
+        omega = np.asarray([f.omega for f in fits])
+        return (jnp.asarray(omega), jnp.asarray(alpha), jnp.asarray(beta),
+                jnp.asarray(p_arr), jnp.asarray(q_arr))
 
     def marginals_densities(self, in_sample: np.ndarray, fits):
         """marginals = Phi(eps_t), densities = phi(eps_t)
-        (`garch_estimation.py:56-119`)."""
-        mcols, dcols = [], []
-        for i, f in enumerate(fits):
-            eps = garch_mod.standardized_residuals(
-                jnp.asarray(in_sample[:, i]), f.omega, f.alpha, f.beta
-            )
-            mcols.append(np.asarray(norm_cdf(eps)))
-            dcols.append(np.asarray(norm_pdf(eps)))
-        return np.stack(mcols, axis=1), np.stack(dcols, axis=1)
+        (`garch_estimation.py:56-119`). One vmapped dispatch for every
+        asset."""
+        omega, alpha, beta, _, _ = self._padded_params(fits)
+        marg, dens = _garch_marg_dens_assets(
+            jnp.asarray(in_sample.T), omega, alpha, beta
+        )
+        marg, dens = jax.device_get((marg, dens))
+        return np.asarray(marg).T, np.asarray(dens).T
 
-    def _window_forecasts(self, windows_i, fit):
-        return garch_mod.forecast_vol_windows(
-            windows_i, fit.omega, jnp.asarray(fit.alpha), jnp.asarray(fit.beta)
+    def _window_forecasts_assets(self, windows_a, fits):
+        """(A, T) forecast vols for all assets in one dispatch."""
+        omega, alpha, beta, p_arr, q_arr = self._padded_params(fits)
+        return _garch_forecast_windows_assets(
+            windows_a, omega, alpha, beta, p_arr, q_arr
         )
 
     def integration_inputs(self, windows: np.ndarray, fits, num_points: int,
                            box=(-5.0, 5.0)):
-        cols = [
-            np.asarray(self._window_forecasts(jnp.asarray(windows[:, :, i]), f))
-            for i, f in enumerate(fits)
-        ]
+        fv = self._window_forecasts_assets(
+            jnp.asarray(np.moveaxis(windows, 2, 0)), fits
+        )  # (A, T)
         x, dx = garch_grid(num_points, box[0], box[1])
-        return GarchIntegrationInputs(x, dx, np.stack(cols, axis=1))
+        return GarchIntegrationInputs(
+            x, dx, np.asarray(jax.device_get(fv)).T
+        )
 
     def integrals(self, bounds, inputs: GarchIntegrationInputs, spec, weights,
                   box_min=-5.0):
@@ -642,32 +744,35 @@ class MeanRevertingAdapter(GarchAdapter):
 
     def fit(self, in_sample: np.ndarray):
         # default initial guess a=0.99, l=0.5, q=0.1
-        # (`mean_reverting_estimation.py:41-47`)
-        return [
-            model_fit.fit_ukf_em(
-                in_sample[:, i], a0=self.a0, l0=self.l0, q0=self.q0,
-                max_iter=self.em_max_iter, tol=self.em_tol,
-                perturb_scale=self.perturb_scale,
-                restart_attempts=self.restart_attempts, seed=self.seed + i,
-                reference_quirks=self.reference_quirks,
-            )
-            for i in range(in_sample.shape[1])
-        ]
+        # (`mean_reverting_estimation.py:41-47`); all assets' EM loops
+        # lockstep in one device program
+        return model_fit.fit_ukf_em_batch(
+            in_sample, a0=self.a0, l0=self.l0, q0=self.q0,
+            max_iter=self.em_max_iter, tol=self.em_tol,
+            perturb_scale=self.perturb_scale,
+            restart_attempts=self.restart_attempts, seed=self.seed,
+            reference_quirks=self.reference_quirks,
+        )
 
     def marginals_densities(self, in_sample: np.ndarray, fits):
         """eps_t from the UKF vol path (`mean_reverting_estimation.py:
-        95-106`)."""
-        mcols, dcols = [], []
-        for i, f in enumerate(fits):
-            eps = ukf_mod.standardized_residuals(
-                jnp.asarray(in_sample[:, i]), f.a, f.l, f.q
-            )
-            mcols.append(np.asarray(norm_cdf(eps)))
-            dcols.append(np.asarray(norm_pdf(eps)))
-        return np.stack(mcols, axis=1), np.stack(dcols, axis=1)
+        95-106`). One vmapped dispatch for every asset."""
+        marg, dens = _ukf_marg_dens_assets(
+            jnp.asarray(in_sample.T),
+            jnp.asarray([f.a for f in fits]),
+            jnp.asarray([f.l for f in fits]),
+            jnp.asarray([f.q for f in fits]),
+        )
+        marg, dens = jax.device_get((marg, dens))
+        return np.asarray(marg).T, np.asarray(dens).T
 
-    def _window_forecasts(self, windows_i, fit):
-        return ukf_mod.forecast_vol_windows(windows_i, fit.a, fit.l, fit.q)
+    def _window_forecasts_assets(self, windows_a, fits):
+        return _ukf_forecast_windows_assets(
+            windows_a,
+            jnp.asarray([f.a for f in fits]),
+            jnp.asarray([f.l for f in fits]),
+            jnp.asarray([f.q for f in fits]),
+        )
 
 
 # ---------------------------------------------------------------------------

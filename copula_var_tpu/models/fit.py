@@ -58,10 +58,17 @@ def _garch_nll(returns, params, p):
 
 
 @functools.partial(jax.jit, static_argnames=("p_max", "q_max", "max_iter"))
-def _newton_garch_batched(returns, inits, masks, extras, p_max, q_max,
-                          max_iter, tol, eps):
-    """The ENTIRE BIC sweep — every (p, q) pair x every start — as ONE
-    device program, compiled once.
+def _newton_garch_assets(returns_a, inits_a, masks, extras, p_max, q_max,
+                         max_iter, tol, eps):
+    """The ENTIRE BIC sweep for EVERY asset — every asset x (p, q) pair x
+    start — as ONE device program, compiled once.
+
+    `returns_a` is (A, T) and `inits_a` (A, C, m): the candidate grid is
+    vmapped inside an outer asset vmap, so the reference's per-ticker fit
+    loop (`utils/calc_var_class.py:60-63` driving `garch/opti.py:89-181`
+    once per asset) collapses from A sequential device programs to one
+    dispatch (VERDICT r04 next #1 — prep wall time was dominated by the
+    sequential asset axis).
 
     Every candidate is padded to (p_max, q_max) lags; `masks` pins the
     inactive coefficients at zero (they contribute nothing to the
@@ -81,22 +88,23 @@ def _newton_garch_batched(returns, inits, masks, extras, p_max, q_max,
     Replaces the 9-sequential-device-program host loop (each (p, q)
     compiling its own program — the dominant prep cost measured in
     PERF.md) with one dispatch, and the compile cache is shared across
-    assets of the same length.
+    asset panels of the same shape.
     """
-    returns = jnp.asarray(returns)
+    returns_a = jnp.asarray(returns_a)
     # dtype-aware convergence floor: a f64-calibrated tol (1e-10) is below
     # one ulp of the f32 iterate on TPU, so the while_loop would spin its
     # full max_iter bound (long enough to trip device watchdogs)
     tol = jnp.maximum(
-        jnp.asarray(tol, returns.dtype), 64.0 * jnp.finfo(returns.dtype).eps
+        jnp.asarray(tol, returns_a.dtype),
+        64.0 * jnp.finfo(returns_a.dtype).eps,
     )
-    n = returns.shape[0]
+    n = returns_a.shape[-1]
     m = 1 + p_max + q_max
-    eye = jnp.eye(m, dtype=returns.dtype)
+    eye = jnp.eye(m, dtype=returns_a.dtype)
     floor = eps + 1e-7
     t_idx = jnp.arange(n)
 
-    def nll_row(x, mask, extra):
+    def nll_row(returns, x, mask, extra):
         xm = x * mask
         omega = xm[0]
         alpha = xm[1 : 1 + p_max]
@@ -113,8 +121,8 @@ def _newton_garch_batched(returns, inits, masks, extras, p_max, q_max,
         )
         return jnp.where(ok, -ll, 1e10)
 
-    def solve_one(x0, mask, extra):
-        nll = lambda x: nll_row(x, mask, extra)
+    def solve_one(returns, x0, mask, extra):
+        nll = lambda x: nll_row(returns, x, mask, extra)
         grad_f = jax.grad(nll)
         hess_f = jax.hessian(nll)
 
@@ -187,7 +195,9 @@ def _newton_garch_batched(returns, inits, masks, extras, p_max, q_max,
         )
         return x, nll(x)
 
-    return jax.vmap(solve_one)(inits, masks, extras)
+    over_candidates = jax.vmap(solve_one, in_axes=(None, 0, 0, 0))
+    over_assets = jax.vmap(over_candidates, in_axes=(0, 0, None, None))
+    return over_assets(returns_a, inits_a, masks, extras)
 
 
 def _garch_candidates(returns, p_max, q_max):
@@ -330,33 +340,67 @@ def fit_garch(
     reference_quirks=True switches to the reference's exact optimizer
     trajectory (`_fit_garch_reference_trajectory`) for fits-included
     golden comparison."""
+    return fit_garch_batch(
+        np.asarray(returns, dtype=float)[:, None], p_max=p_max, q_max=q_max,
+        tol=tol, max_iter=max_iter, eps=eps,
+        reference_quirks=reference_quirks,
+    )[0]
+
+
+def fit_garch_batch(
+    returns_2d,
+    p_max: int = 3,
+    q_max: int = 3,
+    tol: float = 1e-10,
+    max_iter: int = 1000,
+    eps: float = 1e-5,
+    reference_quirks: bool = False,
+) -> list:
+    """`fit_garch` for an ENTIRE (T, A) asset panel in one device program.
+
+    Every asset's full p_max x q_max x 3-start Newton sweep runs inside
+    `_newton_garch_assets` (nested candidate/asset vmaps); BIC selection
+    per asset happens on host. Replaces the reference's per-ticker fit
+    loop (`utils/calc_var_class.py:60-63`) — the asset axis was the last
+    sequential dimension of the prep stage (VERDICT r04 next #1)."""
+    returns_2d = np.asarray(returns_2d, dtype=float)
     if reference_quirks:
-        return _fit_garch_reference_trajectory(
-            returns, p_max, q_max, tol, max_iter, eps
-        )
-    returns = np.asarray(returns, dtype=float)
-    n_obs = len(returns)
-    inits, masks, extras, pairs = _garch_candidates(returns, p_max, q_max)
-    xs, nlls = _newton_garch_batched(
-        returns, jnp.asarray(inits), jnp.asarray(masks),
+        return [
+            _fit_garch_reference_trajectory(
+                returns_2d[:, i], p_max, q_max, tol, max_iter, eps
+            )
+            for i in range(returns_2d.shape[1])
+        ]
+    n_obs, A = returns_2d.shape
+    per_asset = [
+        _garch_candidates(returns_2d[:, i], p_max, q_max) for i in range(A)
+    ]
+    masks, extras, pairs = per_asset[0][1], per_asset[0][2], per_asset[0][3]
+    inits_a = np.stack([c[0] for c in per_asset])  # (A, C, m)
+    xs, nlls = _newton_garch_assets(
+        jnp.asarray(returns_2d.T), jnp.asarray(inits_a), jnp.asarray(masks),
         jnp.asarray(extras), p_max, q_max, max_iter, tol, eps,
     )
-    xs, nlls = np.asarray(xs), np.asarray(nlls)
-    best: Optional[GarchFit] = None
+    xs, nlls = np.asarray(jax.device_get(xs)), np.asarray(jax.device_get(nlls))
+    fits = []
     n_starts = len(pairs) // (p_max * q_max)
-    for j in range(p_max * q_max):
-        rows = slice(j * n_starts, (j + 1) * n_starts)
-        p, q = pairs[j * n_starts]
-        i = int(np.argmin(nlls[rows])) + j * n_starts
-        x, nll = xs[i], float(nlls[i])
-        alpha = x[1 : 1 + p].copy()
-        beta = x[1 + p_max : 1 + p_max + q].copy()
-        packed = np.concatenate([[x[0]], alpha, beta])
-        num_params = 1 + p + q
-        bic = 2.0 * nll + num_params * np.log(n_obs)
-        if best is None or bic < best.bic:
-            best = GarchFit(p, q, float(x[0]), alpha, beta, nll, bic, packed)
-    return best
+    for a in range(A):
+        best: Optional[GarchFit] = None
+        for j in range(p_max * q_max):
+            rows = slice(j * n_starts, (j + 1) * n_starts)
+            p, q = pairs[j * n_starts]
+            i = int(np.argmin(nlls[a, rows])) + j * n_starts
+            x, nll = xs[a, i], float(nlls[a, i])
+            alpha = x[1 : 1 + p].copy()
+            beta = x[1 + p_max : 1 + p_max + q].copy()
+            packed = np.concatenate([[x[0]], alpha, beta])
+            num_params = 1 + p + q
+            bic = 2.0 * nll + num_params * np.log(n_obs)
+            if best is None or bic < best.bic:
+                best = GarchFit(p, q, float(x[0]), alpha, beta, nll, bic,
+                                packed)
+        fits.append(best)
+    return fits
 
 
 # ---------------------------------------------------------------------------
@@ -414,9 +458,8 @@ def _msm_basin_program(k: int):
         reg = gamma_weight * n * (gm - 0.5) ** 2 + b_weight * n * (1.0 / b) ** 2
         return -ll + reg
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
-    def basin_device(cur, lo_d, hi_d, step0, key, r, sample_var,
-                     gamma_weight, b_weight, n, iters):
+    def basin_core(cur, lo_d, hi_d, step0, key, r, sample_var,
+                   gamma_weight, b_weight, n, iters):
         patience = 10
         span = hi_d - lo_d
         nll = lambda p: batch_nll(p, r, sample_var, gamma_weight, b_weight, n)
@@ -469,7 +512,22 @@ def _msm_basin_program(k: int):
         cur, cur_nll, _, _, _ = jax.lax.fori_loop(0, iters, body, init)
         return cur, cur_nll
 
-    return basin_device, batch_nll
+    basin_device = jax.jit(basin_core, static_argnames=("iters",))
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def basin_assets(cur_a, lo_d, hi_d, step0, keys, r_a, sample_var_a,
+                     gamma_weight, b_weight, n, iters):
+        """All A assets' basin hops in lockstep: (A, S, 3) starts, per-asset
+        key/returns/variance, ONE dispatch (VERDICT r04 next #1 — the
+        adapter fit loop was one device program per asset)."""
+        return jax.vmap(
+            lambda c, ky, r, sv: basin_core(
+                c, lo_d, hi_d, step0, ky, r, sv, gamma_weight, b_weight, n,
+                iters,
+            )
+        )(cur_a, keys, r_a, sample_var_a)
+
+    return basin_device, batch_nll, basin_assets
 
 
 @functools.lru_cache(maxsize=None)
@@ -515,80 +573,142 @@ def fit_msm(
     basin_iter=0 the whole trajectory is deterministic on both sides,
     enabling fits-included golden comparison (tests/test_quirk_fits.py).
     """
-    returns = np.asarray(returns, dtype=float)
+    return fit_msm_batch(
+        np.asarray(returns, dtype=float)[:, None], k,
+        basin_iter=basin_iter, step_size=step_size, b_values=b_values,
+        gamma_weight=gamma_weight, b_weight=b_weight, seed=seed,
+        bounds=bounds, reference_quirks=reference_quirks,
+    )[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _msm_true_ll_assets(k: int):
+    """Stable-identity batched true LL: (A, S, 3) candidate panels against
+    per-asset returns, one dispatch."""
+
+    @jax.jit
+    def true_ll(params_a, r_a, sample_var_a):
+        def one(params, r, sv):
+            m0, b, gm = params[:, 0], params[:, 1], params[:, 2]
+            factor = (m0**2 - 2 * m0 + 2) ** (k / 2)
+            sigma = jnp.sqrt(sv) / factor
+            return msm_mod.log_likelihood_batch(k, m0, sigma, b, gm, r)
+
+        return jax.vmap(one)(params_a, r_a, sample_var_a)
+
+    return true_ll
+
+
+def fit_msm_batch(
+    returns_2d,
+    k: int,
+    basin_iter: int = 100,
+    step_size: float = 0.2,
+    b_values=None,
+    gamma_weight: float = 0.0,
+    b_weight: float = 0.0,
+    seed: int = 0,
+    bounds=None,
+    reference_quirks: bool = False,
+) -> list:
+    """`fit_msm` for an ENTIRE (T, A) asset panel: the basin hops of all
+    assets advance in lockstep as ONE device program (`basin_assets`), the
+    L-BFGS polish runs all assets' top starts in one batched solve, and
+    the final true-LL evaluation is one dispatch (VERDICT r04 next #1 —
+    the asset axis was the last sequential fit dimension; the reference
+    fits tickers one at a time, `utils/calc_var_class.py:60-63`).
+
+    Asset i uses PRNGKey(seed + i) — the same stream as a sequential
+    `fit_msm(..., seed=seed + i)` loop, so results match the per-asset
+    path."""
+    returns_2d = np.asarray(returns_2d, dtype=float)
+    n, A = returns_2d.shape
     if b_values is None:
         b_values = np.linspace(1.0, 50.0, 10)  # `opti.py:21`
     bounds = MSM_BOUNDS if bounds is None else np.asarray(bounds, dtype=float)
     n_starts = len(b_values)
-    sample_var = float(np.var(returns))
-    n = len(returns)
-    r_dev = jnp.asarray(returns)
+    sample_var = np.var(returns_2d, axis=0)  # (A,)
+    r_a = jnp.asarray(returns_2d.T)  # (A, T)
 
-    basin_device, batch_nll_fn = _msm_basin_program(k)
-    reg_args = (r_dev, jnp.asarray(sample_var),
-                jnp.asarray(float(gamma_weight)),
-                jnp.asarray(float(b_weight)), jnp.asarray(float(n)))
-
-    def batch_nll(params):
-        return batch_nll_fn(params, *reg_args)
+    _, _, basin_assets = _msm_basin_program(k)
+    gw = jnp.asarray(float(gamma_weight))
+    bw = jnp.asarray(float(b_weight))
+    n_j = jnp.asarray(float(n))
 
     lo, hi = bounds[:, 0], bounds[:, 1]
-    cur0 = np.tile(np.array([0.5, 10.0, 0.5]), (n_starts, 1))
-    cur0[:, 1] = b_values
+    cur0 = np.tile(np.array([0.5, 10.0, 0.5]), (A, n_starts, 1))
+    cur0[:, :, 1] = b_values
+    keys = jnp.stack([jax.random.PRNGKey(seed + i) for i in range(A)])
 
-    cur_d, nll_d = basin_device(
+    cur_d, nll_d = basin_assets(
         jnp.asarray(cur0), jnp.asarray(lo), jnp.asarray(hi),
-        jnp.asarray(float(step_size)), jax.random.PRNGKey(seed), *reg_args,
-        iters=basin_iter,
+        jnp.asarray(float(step_size)), keys, r_a, jnp.asarray(sample_var),
+        gw, bw, n_j, iters=basin_iter,
     )
-    cur = np.array(cur_d)  # writable copies (polish below mutates rows)
-    cur_nll = np.array(nll_d)
+    cur = np.array(jax.device_get(cur_d))  # (A, S, 3), writable
+    cur_nll = np.array(jax.device_get(nll_d))  # (A, S)
 
-    # Gradient polish (TPU-native addition): the MSM likelihood is smooth in
-    # (m_0, b, gamma), so finish the top starts with L-BFGS on exact JAX
-    # gradients — the reference's pure random search stops ~100+ LL points
-    # short of the optimum at basin_iter=100. All polished starts run
-    # lockstep as ONE device dispatch (`ops/lbfgs.box_lbfgs_batch`; the
-    # round-2 scipy loop paid a tunnel round trip per evaluation). The
-    # loss has a stable identity per k (`_msm_polish_loss`) so the
-    # program compiles once per k, not once per asset fit.
+    # Gradient polish (TPU-native addition): the MSM likelihood is smooth
+    # in (m_0, b, gamma), so finish the top starts with L-BFGS on exact
+    # JAX gradients — the reference's pure random search stops ~100+ LL
+    # points short of the optimum at basin_iter=100. ALL assets' polished
+    # starts run lockstep as ONE device dispatch
+    # (`ops/lbfgs.box_lbfgs_batch` rows = asset x top-start; the returns
+    # and variance ride `batched_args`). The loss has a stable identity
+    # per k (`_msm_polish_loss`) so the program compiles once per k.
     if not reference_quirks:
         from copula_var_tpu.ops.lbfgs import box_lbfgs_batch
 
-        order = np.argsort(cur_nll)[:3]
-        bounds_arr = np.asarray(bounds, dtype=float)
+        top = 3
+        order = np.argsort(cur_nll, axis=1)[:, :top]  # (A, top)
+        x0_rows = np.stack(
+            [cur[a, order[a]] for a in range(A)]
+        ).reshape(A * top, 3)
+        r_rows = jnp.repeat(r_a, top, axis=0)  # (A*top, T)
+        sv_rows = jnp.repeat(jnp.asarray(sample_var), top)
         xs, fs = box_lbfgs_batch(
-            _msm_polish_loss(k), bounds_arr[:, 0], bounds_arr[:, 1],
-            jnp.asarray(cur[order]), r_dev, jnp.asarray(sample_var),
-            jnp.asarray(float(gamma_weight)), jnp.asarray(float(b_weight)),
-            jnp.asarray(float(n)),
+            _msm_polish_loss(k), bounds[:, 0], bounds[:, 1],
+            jnp.asarray(x0_rows),
+            batched_args=(
+                r_rows, sv_rows,
+                jnp.broadcast_to(gw, (A * top,)),
+                jnp.broadcast_to(bw, (A * top,)),
+                jnp.broadcast_to(n_j, (A * top,)),
+            ),
         )
-        xs, fs = np.asarray(xs), np.asarray(fs)
-        for j, i in enumerate(order):
-            if fs[j] < cur_nll[i]:
-                cur[i] = xs[j]
-                cur_nll[i] = fs[j]
+        xs = np.asarray(jax.device_get(xs)).reshape(A, top, 3)
+        fs = np.asarray(jax.device_get(fs)).reshape(A, top)
+        for a in range(A):
+            for j in range(top):
+                i = order[a, j]
+                if fs[a, j] < cur_nll[a, i]:
+                    cur[a, i] = xs[a, j]
+                    cur_nll[a, i] = fs[a, j]
 
-    # final true log-likelihood (no regularization), best start by MAX LL
-    # (the reference's min-selection at `opti.py:125-128` is a defect)
-    final_ll = -np.asarray(batch_nll(jnp.asarray(cur))) if (
-        gamma_weight == 0 and b_weight == 0
-    ) else np.array(
-        [
-            float(
-                msm_mod.log_likelihood(
-                    k, cur[i, 0], estimate_sigma(sample_var, cur[i, 0], k),
-                    cur[i, 1], cur[i, 2], r_dev,
-                )
+    # final true log-likelihood (no regularization) for every start of
+    # every asset in one dispatch; best start by MAX LL (the reference's
+    # min-selection at `opti.py:125-128` is a defect, restored under
+    # reference_quirks)
+    final_ll = np.asarray(
+        jax.device_get(
+            _msm_true_ll_assets(k)(
+                jnp.asarray(cur), r_a, jnp.asarray(sample_var)
             )
-            for i in range(n_starts)
-        ]
-    )
-    # selection: max LL (fixed) / min LL (the reference defect, quirks)
-    i = int(np.argmin(final_ll) if reference_quirks else np.argmax(final_ll))
-    m0, b, gm = cur[i]
-    return MsmFit(float(m0), float(b), float(gm),
-                  float(estimate_sigma(sample_var, m0, k)), float(final_ll[i]))
+        )
+    )  # (A, S)
+    fits = []
+    for a in range(A):
+        i = int(
+            np.argmin(final_ll[a]) if reference_quirks
+            else np.argmax(final_ll[a])
+        )
+        m0, b, gm = cur[a, i]
+        fits.append(
+            MsmFit(float(m0), float(b), float(gm),
+                   float(estimate_sigma(sample_var[a], m0, k)),
+                   float(final_ll[a, i]))
+        )
+    return fits
 
 
 # ---------------------------------------------------------------------------
@@ -634,16 +754,62 @@ def fit_ukf_em(
     defined at the likelihood-kernel level (SURVEY §7d), not the
     trajectory.
     """
-    returns = np.asarray(returns, dtype=float)
-    best_p, best_ll = _ukf_em_device(
-        jnp.asarray(returns), a0, l0, q0, tol, perturb_scale,
-        jax.random.PRNGKey(seed), max_iter, restart_attempts,
-        bool(reference_quirks),
+    return fit_ukf_em_batch(
+        np.asarray(returns, dtype=float)[:, None], a0=a0, l0=l0, q0=q0,
+        max_iter=max_iter, tol=tol, perturb_scale=perturb_scale,
+        restart_attempts=restart_attempts, seed=seed,
+        reference_quirks=reference_quirks,
+    )[0]
+
+
+def fit_ukf_em_batch(
+    returns_2d,
+    a0: float = 0.99,
+    l0: float = 0.5,
+    q0: float = 0.1,
+    max_iter: int = 1000,
+    tol: float = 1e-6,
+    perturb_scale: float = 0.05,
+    restart_attempts: int = 5,
+    seed: int = 0,
+    reference_quirks: bool = False,
+) -> list:
+    """`fit_ukf_em` for an ENTIRE (T, A) asset panel: the per-asset EM
+    while-loops run lockstep under one vmapped device program
+    (`_ukf_em_assets`) — one dispatch for all assets instead of one per
+    asset (VERDICT r04 next #1). Asset i draws from PRNGKey(seed + i),
+    the same stream as a sequential loop."""
+    returns_2d = np.asarray(returns_2d, dtype=float)
+    A = returns_2d.shape[1]
+    keys = jnp.stack([jax.random.PRNGKey(seed + i) for i in range(A)])
+    best_p, best_ll = _ukf_em_assets(
+        jnp.asarray(returns_2d.T), a0, l0, q0, tol, perturb_scale, keys,
+        max_iter, restart_attempts, bool(reference_quirks),
     )
-    best_p = np.asarray(best_p)
-    return UkfFit(
-        float(best_p[0]), float(best_p[1]), float(best_p[2]), float(best_ll)
-    )
+    best_p = np.asarray(jax.device_get(best_p))
+    best_ll = np.asarray(jax.device_get(best_ll))
+    return [
+        UkfFit(float(best_p[a, 0]), float(best_p[a, 1]),
+               float(best_p[a, 2]), float(best_ll[a]))
+        for a in range(A)
+    ]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "restart_attempts", "quirks")
+)
+def _ukf_em_assets(returns_a, a0, l0, q0, tol, perturb_scale, keys,
+                   max_iter, restart_attempts, quirks=False):
+    """All A assets' EM loops lockstep: vmap of `_ukf_em_device`'s body
+    over (returns, key). A lagging asset keeps iterating while finished
+    ones no-op (vmapped while_loop runs to the slowest row) — still one
+    dispatch total."""
+    return jax.vmap(
+        lambda r, ky: _ukf_em_device.__wrapped__(
+            r, a0, l0, q0, tol, perturb_scale, ky, max_iter,
+            restart_attempts, quirks,
+        )
+    )(returns_a, keys)
 
 
 @functools.partial(

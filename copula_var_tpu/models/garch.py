@@ -113,6 +113,34 @@ def forecast_vol(returns, omega, alpha, beta):
     return jnp.sqrt(f)
 
 
+@jax.jit
+def forecast_vol_padded(returns, omega, alpha, beta, p, q):
+    """`forecast_vol` for end-zero-padded coefficient rows with traced
+    true lag counts (p, q) — the shape-stable form that lets the
+    one-dispatch asset batch vmap over fits with different selected
+    (p, q) (`backtest._garch_forecast_windows_assets`).
+
+    Preserves the reference's pairing quirk (`garch/forecast.py:5-18`):
+    alpha[i] multiplies returns[-p + i] (oldest-first), which end-padding
+    alone would shift — so the last p returns are gathered at their true
+    offsets instead of slicing the padded tail.
+    """
+    returns = jnp.asarray(returns)
+    alpha = jnp.atleast_1d(jnp.asarray(alpha))
+    beta = jnp.atleast_1d(jnp.asarray(beta))
+    pm, qm = alpha.shape[0], beta.shape[0]
+    n = returns.shape[0]
+    s2 = conditional_variances(returns, omega, alpha, beta)
+    i = jnp.arange(pm)
+    r_tail = jnp.where(
+        i < p, returns[jnp.clip(n - p + i, 0, n - 1)], 0.0
+    )
+    j = jnp.arange(qm)
+    s_tail = jnp.where(j < q, s2[jnp.clip(n - q + j, 0, n - 1)], 0.0)
+    f = omega + jnp.sum(alpha * r_tail * r_tail) + jnp.sum(beta * s_tail)
+    return jnp.sqrt(f)
+
+
 @functools.partial(jax.jit, static_argnames=("n",))
 def simulate(key, omega, alpha, beta, n):
     """Simulate a GARCH(p, q) series (`garch/generate_data.py:34-69`).

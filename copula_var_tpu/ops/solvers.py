@@ -88,3 +88,38 @@ def bracket_state_jnp(F1, obj, sweep, cfg, quirks):
     hi = jnp.where(m, sg1, hi)
     ustack = ~((hi == sg0) | (hi == sg1))
     return lo, hi, res, prev_upper, ustack, jnp.isnan(res)
+
+
+def bracket_state_batched(F1, obj, sweep_batched, cfg, quirks):
+    """`bracket_state_jnp` for ALL L levels at once: F1 (L, T) stage-1
+    CDFs (rows may differ when each level carries its own portfolio
+    weights), obj (L,), `sweep_batched((L, T, 2)) -> (L, T)`. The L
+    stage-2 refinement sweeps issue as ONE batched call instead of L
+    sequential ones (VERDICT r04 weak #5 — the portfolio bracketing
+    streamed the day tensors once per row). Returns the same tuple with
+    every element (L, T)."""
+    fg, sg0, sg1, min_v, max_v = cfg[0], cfg[1], cfg[2], cfg[3], cfg[4]
+    L, T = F1.shape
+    objc = obj[:, None]
+    new_lower = jnp.where(F1 >= objc, sg0, fg)
+    new_upper = jnp.where(F1 < objc, sg1, fg)
+    I2 = sweep_batched(jnp.stack([new_lower, new_upper], axis=-1))
+    res = jnp.where(new_lower == fg, F1 + I2, F1 - I2)
+    anchor = fg if quirks else sg1
+    prev_upper = jnp.where(new_lower == sg0, sg0, anchor)
+    lo = jnp.broadcast_to(min_v, (L, T))
+    hi = jnp.broadcast_to(max_v, (L, T))
+    m = res > objc
+    lo = jnp.where(m, min_v, lo)
+    hi = jnp.where(m, sg0, hi)
+    m = (res < objc) & (new_upper == fg)
+    lo = jnp.where(m, sg0, lo)
+    hi = jnp.where(m, fg, hi)
+    m = (res < objc) & (new_upper == sg1)
+    lo = jnp.where(m, sg1, lo)
+    hi = jnp.where(m, max_v, hi)
+    m = (res > objc) & (new_upper == sg1)
+    lo = jnp.where(m, fg, lo)
+    hi = jnp.where(m, sg1, hi)
+    ustack = ~((hi == sg0) | (hi == sg1))
+    return lo, hi, res, prev_upper, ustack, jnp.isnan(res)

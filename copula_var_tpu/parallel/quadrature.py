@@ -233,7 +233,7 @@ def _full_solve_levels_gspmd_jit(tensors, fcombos, densities, x, dx,
         garch_integrals_cached,
         msm_integrals_cached,
     )
-    from copula_var_tpu.ops.solvers import bracket_state_jnp
+    from copula_var_tpu.ops.solvers import bracket_state_batched
 
     if is_msm:
         def integral(b):
@@ -252,16 +252,13 @@ def _full_solve_levels_gspmd_jit(tensors, fcombos, densities, x, dx,
     )
     F1 = integral(stage1)
     L = obj.shape[0]
-    per = [bracket_state_jnp(F1, obj[lev], integral, cfg, quirks)
-           for lev in range(L)]
-    state0 = (
-        jnp.stack([p[0] for p in per]).astype(dt),
-        jnp.stack([p[1] for p in per]).astype(dt),
-        jnp.stack([p[2] for p in per]).astype(dt),
-        jnp.stack([p[3] for p in per]).astype(dt),
-        jnp.stack([p[4] for p in per]),
+    # all L stage-2 refinements in ONE batched day-parallel sweep
+    lo, hi, res, pu, us, nan_days = bracket_state_batched(
+        jnp.broadcast_to(F1, (L,) + F1.shape), obj.astype(F1.dtype),
+        jax.vmap(integral), cfg, quirks,
     )
-    nan_days = jnp.stack([p[5] for p in per])
+    state0 = (lo.astype(dt), hi.astype(dt), res.astype(dt), pu.astype(dt),
+              us)
     roots = _solve_levels_jit.__wrapped__(
         state0, tensors, fcombos, densities, x, dx, weights,
         obj.astype(dt), jnp.asarray(tolerance, dt),
@@ -282,7 +279,7 @@ def _full_solve_portfolios_gspmd_jit(tensors, fcombos, densities, x, dx,
         garch_integrals_cached,
         msm_integrals_cached,
     )
-    from copula_var_tpu.ops.solvers import bracket_state_jnp
+    from copula_var_tpu.ops.solvers import bracket_state_batched
 
     if is_msm:
         def integral_w(b, w):
@@ -299,19 +296,19 @@ def _full_solve_portfolios_gspmd_jit(tensors, fcombos, densities, x, dx,
          jnp.broadcast_to(cfg[0], (Tp,)).astype(dt)], axis=-1,
     )
     L = obj.shape[0]
-    per = [
-        bracket_state_jnp(
-            integral_w(stage1, weights[lev]), obj[lev],
-            lambda b, lev=lev: integral_w(b, weights[lev]), cfg, quirks,
+    # stage-1 + stage-2 as TWO batched sweeps instead of 2L sequential
+    # per-row streams (VERDICT r04 weak #5)
+    F1 = jax.vmap(integral_w)(
+        jnp.broadcast_to(stage1, (L,) + stage1.shape), weights
+    )
+    lower, upper, prev_res, prev_up, ustack, nan_days = (
+        bracket_state_batched(
+            F1, obj.astype(F1.dtype),
+            lambda b: jax.vmap(integral_w)(b, weights), cfg, quirks,
         )
-        for lev in range(L)
-    ]
-    lower = jnp.stack([p[0] for p in per]).astype(dt)
-    upper = jnp.stack([p[1] for p in per]).astype(dt)
-    prev_res = jnp.stack([p[2] for p in per]).astype(dt)
-    prev_up = jnp.stack([p[3] for p in per]).astype(dt)
-    ustack = jnp.stack([p[4] for p in per])
-    nan_days = jnp.stack([p[5] for p in per])
+    )
+    lower, upper = lower.astype(dt), upper.astype(dt)
+    prev_res, prev_up = prev_res.astype(dt), prev_up.astype(dt)
     obj2 = obj[:, None].astype(dt)
     tol = jnp.asarray(tolerance, dt)
 
@@ -1049,7 +1046,7 @@ def _spmd_full_solve_levels(integral, obj, cfg, tol, T_loc, quirks):
     global-reduction bisection (`_spmd_bisection_levels`). The
     bracketing is purely per-day, so it adds no collectives. Returns
     (roots (L, T_loc), nan_days (L, T_loc))."""
-    from copula_var_tpu.ops.solvers import bracket_state_jnp
+    from copula_var_tpu.ops.solvers import bracket_state_batched
 
     dt = jnp.result_type(cfg.dtype, jnp.float32)
     stage1 = jnp.stack(
@@ -1058,16 +1055,13 @@ def _spmd_full_solve_levels(integral, obj, cfg, tol, T_loc, quirks):
     )
     F1 = integral(stage1)
     L = obj.shape[0]
-    per = [bracket_state_jnp(F1, obj[lev], integral, cfg, quirks)
-           for lev in range(L)]
-    state0 = (
-        jnp.stack([p[0] for p in per]).astype(dt),
-        jnp.stack([p[1] for p in per]).astype(dt),
-        jnp.stack([p[2] for p in per]).astype(dt),
-        jnp.stack([p[3] for p in per]).astype(dt),
-        jnp.stack([p[4] for p in per]),
+    # all L stage-2 refinements in ONE batched sweep (r04 weak #5)
+    lo, hi, res, pu, us, nan_days = bracket_state_batched(
+        jnp.broadcast_to(F1, (L,) + F1.shape), obj.astype(F1.dtype),
+        jax.vmap(integral), cfg, quirks,
     )
-    nan_days = jnp.stack([p[5] for p in per])
+    state0 = (lo.astype(dt), hi.astype(dt), res.astype(dt), pu.astype(dt),
+              us)
     roots = _spmd_bisection_levels(integral, state0, obj.astype(dt),
                                    jnp.asarray(tol, dt))
     return roots, nan_days
@@ -1077,7 +1071,7 @@ def _spmd_full_solve_portfolios(integral_w, obj, weights, cfg, tol,
                                 T_loc, quirks):
     """Per-shard portfolio-batch solve: like `_spmd_full_solve_levels`
     but row l masks with weights[l] (`integral_w(bounds, w)`)."""
-    from copula_var_tpu.ops.solvers import bracket_state_jnp
+    from copula_var_tpu.ops.solvers import bracket_state_batched
 
     dt = jnp.result_type(cfg.dtype, jnp.float32)
     stage1 = jnp.stack(
@@ -1085,21 +1079,16 @@ def _spmd_full_solve_portfolios(integral_w, obj, weights, cfg, tol,
          jnp.broadcast_to(cfg[0], (T_loc,)).astype(dt)], axis=-1,
     )
     L = obj.shape[0]
-    per = [
-        bracket_state_jnp(
-            integral_w(stage1, weights[lev]), obj[lev],
-            lambda b, lev=lev: integral_w(b, weights[lev]), cfg, quirks,
-        )
-        for lev in range(L)
-    ]
-    state0 = (
-        jnp.stack([p[0] for p in per]).astype(dt),
-        jnp.stack([p[1] for p in per]).astype(dt),
-        jnp.stack([p[2] for p in per]).astype(dt),
-        jnp.stack([p[3] for p in per]).astype(dt),
-        jnp.stack([p[4] for p in per]),
+    # two batched sweeps, not 2L sequential streams (r04 weak #5)
+    F1 = jax.vmap(integral_w)(
+        jnp.broadcast_to(stage1, (L,) + stage1.shape), weights
     )
-    nan_days = jnp.stack([p[5] for p in per])
+    lo, hi, res, pu, us, nan_days = bracket_state_batched(
+        F1, obj.astype(F1.dtype),
+        lambda b: jax.vmap(integral_w)(b, weights), cfg, quirks,
+    )
+    state0 = (lo.astype(dt), hi.astype(dt), res.astype(dt), pu.astype(dt),
+              us)
 
     def gany(flag):
         return jax.lax.pmax(flag.astype(jnp.int32), "days") > 0
