@@ -120,6 +120,19 @@ def _call_integral_kernel(kernel_id, bounds, aux):
             mesh, bounds, t0, p0, t1, p1, x, dx, weights,
             CopulaSpec(copula_kind, params), box_min=box_min,
         )
+    if kind == "grid_tcached":
+        from copula_var_tpu.parallel.quadrature import (
+            grid_sharded_tcached_sweep,
+        )
+
+        _, mesh, family, copula_kind, day_batch, box_min = kernel_id
+        (cols0, cols_rest, p0, p_rest, fcombos, x, dx, densities, weights,
+         params) = aux
+        return grid_sharded_tcached_sweep(
+            mesh, bounds, cols0, cols_rest, p0, p_rest, fcombos, x, dx,
+            densities, weights, copula_kind, params, family, day_batch,
+            box_min=box_min,
+        )
     if kind == "dim3_pallas":
         from copula_var_tpu.ops.pallas_quadrature3 import (
             Dim3Cache,
@@ -137,6 +150,98 @@ def _call_integral_kernel(kernel_id, bounds, aux):
     raise ValueError(f"unknown integral kernel: {kernel_id!r}")
 
 
+# Kernels with a trapezoid/fractional-cell refinement twin
+# (`ops/quadrature` trap sweeps; refine_root support)
+_TRAP_KERNELS = frozenset(
+    {"msm_cached", "garch_cached", "msm_tcached", "garch_tcached"}
+)
+
+
+def _call_trap_kernel(kernel_id, bounds, aux):
+    """Dispatch one SECOND-ORDER (trapezoid + fractional boundary cell)
+    sweep for a recognized kernel — the refinement twin of
+    `_call_integral_kernel` (traced). Same aux pytree as the staircase
+    kernel; the dx element is ignored (trap weights derive from x)."""
+    kind = kernel_id[0]
+    if kind == "msm_cached":
+        from copula_var_tpu.ops.quadrature import msm_integrals_trap
+
+        C, fcombos, x, dx, densities, weights, box_min = aux
+        return msm_integrals_trap(
+            bounds, C, fcombos, x, densities, weights, box_min
+        )
+    if kind == "garch_cached":
+        from copula_var_tpu.ops.quadrature import garch_integrals_trap
+
+        V, x, dx, weights, box_min = aux
+        return garch_integrals_trap(bounds, V, x, weights, box_min)
+    if kind == "msm_tcached":
+        from copula_var_tpu.ops.quadrature import _msm_tcached_trap
+
+        _, copula_kind, day_batch = kernel_id
+        cols, fcombos, x, dx, densities, weights, params, box_min = aux
+        return _msm_tcached_trap(
+            bounds, cols, fcombos, x, densities, weights, box_min,
+            copula_kind, params, day_batch,
+        )
+    if kind == "garch_tcached":
+        from copula_var_tpu.ops.quadrature import _garch_tcached_trap
+
+        _, copula_kind, day_batch = kernel_id
+        cols, p_cols, x, dx, weights, params, box_min = aux
+        return _garch_tcached_trap(
+            bounds, cols, p_cols, x, weights, box_min, copula_kind,
+            params, day_batch,
+        )
+    raise ValueError(f"no trapezoid refinement twin for: {kernel_id!r}")
+
+
+def _trap_bisect(sweep_batched, roots, obj2, h2, iters=12):
+    """Re-solve in a +-h window around the staircase roots against the
+    second-order trap sweep (traced): F_trap is continuous and monotone
+    in the bound, so `iters` halvings pin the refined root to
+    2h / 2^iters — far below the trap rule's own O(cell^2) accuracy.
+    roots/obj2 (L, T)/(L, 1); h2 broadcastable to (L, T)."""
+    lo, hi = roots - h2, roots + h2
+    low_edge = jnp.full_like(roots, -100.0)
+
+    def body(_, c):
+        lo, hi = c
+        mid = (lo + hi) / 2.0
+        F = sweep_batched(jnp.stack([low_edge, mid], axis=-1))
+        below = F < obj2
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return (lo + hi) / 2.0
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_id",))
+def _trap_refine_levels_jit(kernel_id, aux, roots, obj, h):
+    """Module-level refinement program (used post-hoc by the fused Pallas
+    engine, whose solve kernel returns staircase roots)."""
+    sweep = jax.vmap(lambda b: _call_trap_kernel(kernel_id, b, aux))
+    return _trap_bisect(
+        sweep, roots, obj[:, None].astype(roots.dtype),
+        jnp.asarray(h, roots.dtype),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_id",))
+def _trap_refine_portfolios_jit(kernel_id, aux, roots, obj, weights, h):
+    """Portfolio twin: row l refines with its own half-space weights and
+    plateau half-width."""
+    sweep = lambda b: jax.vmap(
+        lambda bb, w: _call_trap_kernel(
+            kernel_id, bb, _subst_weights(kernel_id, aux, w)
+        )
+    )(b, weights)
+    return _trap_bisect(
+        sweep, roots, obj[:, None].astype(roots.dtype),
+        jnp.asarray(h, roots.dtype)[:, None],
+    )
+
+
 # position of the portfolio-weights element inside each kernel's aux
 # pytree (see _cached_integral_fn) — lets the portfolio batch substitute
 # per-row weights without reshaping the kernel contracts
@@ -148,6 +253,7 @@ _WEIGHTS_POS = {
     "dim3_pallas": 9,
     "grid_msm": 6,
     "grid_garch": 6,
+    "grid_tcached": 8,
 }
 
 
@@ -157,9 +263,12 @@ def _subst_weights(kernel_id, aux, w):
     return aux[:i] + (jnp.asarray(w, jnp.asarray(aux[i]).dtype),)         + aux[i + 1:]
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_id", "quirks", "T"))
+@functools.partial(
+    jax.jit, static_argnames=("kernel_id", "quirks", "T", "refine")
+)
 def _device_full_solve_portfolios_jit(kernel_id, aux, obj, weights, cfg,
-                                      tolerance, T, quirks):
+                                      tolerance, T, quirks, refine=False,
+                                      h=0.0):
     """Portfolio-batch twin of `_device_full_solve_levels_jit`: row l of
     the (L,) obj / (L, dim) weights batch solves with ITS OWN half-space
     weights — the bounds-invariant kernel caches (day tensors, transform
@@ -219,12 +328,25 @@ def _device_full_solve_portfolios_jit(kernel_id, aux, obj, weights, cfg,
     state = (lower, upper, prev_res, prev_up, ustack,
              jnp.zeros((L,), dtype=bool))
     lo, up, *_ = jax.lax.while_loop(cond, body, state)
-    return (lo + up) / 2.0, nan_days
+    roots = (lo + up) / 2.0
+    if refine:
+        trap_l = lambda b, w: _call_trap_kernel(
+            kernel_id, b, _subst_weights(kernel_id, aux, w)
+        )
+        roots = _trap_bisect(
+            lambda b: jax.vmap(trap_l)(b, weights), roots, obj2,
+            jnp.broadcast_to(
+                jnp.asarray(h, roots.dtype), (roots.shape[0],)
+            )[:, None],
+        )
+    return roots, nan_days
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_id", "quirks", "T"))
+@functools.partial(
+    jax.jit, static_argnames=("kernel_id", "quirks", "T", "refine")
+)
 def _device_full_solve_levels_jit(kernel_id, aux, obj, cfg, tolerance, T,
-                                  quirks):
+                                  quirks, refine=False, h=0.0):
     """The ENTIRE multi-level solve — stage-1 sweep, per-level stage-2
     bracketing, and the whole-array bisection — as ONE module-level
     jitted program for any recognized integral kernel (the XLA cached/
@@ -251,6 +373,12 @@ def _device_full_solve_levels_jit(kernel_id, aux, obj, cfg, tolerance, T,
         prev_res.astype(dt), prev_up.astype(dt), ustack,
         obj[:, None].astype(dt), jnp.asarray(tolerance, dt),
     )
+    if refine:
+        trap = jax.vmap(lambda b: _call_trap_kernel(kernel_id, b, aux))
+        roots = _trap_bisect(
+            trap, roots, obj[:, None].astype(roots.dtype),
+            jnp.asarray(h, roots.dtype),
+        )
     return roots, nan_days
 
 
@@ -812,6 +940,18 @@ class VaRBacktest:
     data: ReturnsData; adapter: a model adapter; copula: copula kind.
     After construction: fitted model params, IFM copula fit, and the
     precomputed integration inputs are available as attributes.
+
+    WEIGHTS-PAIRING QUIRK (reproduced from the reference; only visible
+    at unequal weights): `weights[0]` pairs the INNERMOST grid dimension
+    (`integration_algo.py:6-20`). The garch/mean-reverting integrand
+    puts ticker d on grid dim d (`garch_integration_function.py:32`), so
+    weights[0] multiplies the LAST ticker; the MSM integrand puts ticker
+    d's copula argument on grid dim d but ticker d-1's density
+    (`create_grids.py:121,143` rotation), so its effective pairing
+    differs again. Equal weights — the reference's only shipped config —
+    are permutation-invariant and unaffected. Every engine here
+    reproduces the reference's pairing exactly
+    (tests/test_refine_root.py::_analytic documents the closed form).
     """
 
     data: ReturnsData
@@ -838,6 +978,17 @@ class VaRBacktest:
     # fit results; copula_fit_override a GaussianFit/StudentFit/PlackettFit.
     model_fits_override: Optional[list] = None
     copula_fit_override: Optional[object] = None
+    # Opt-in sub-plateau root refinement (VERDICT r04 next #3): after the
+    # staircase bisection converges, re-solve in a +-grid-cell window
+    # against a SECOND-ORDER (trapezoid + fractional boundary cell)
+    # estimate of the same integrand — cuts the systematic O(cell)
+    # discretization bias of the reference's right-rectangle rule by
+    # ~10x vs the continuous quantile (tests/test_refine_root.py).
+    # Off by default: the unrefined root IS the reference's answer
+    # (parity). Supported on the xla cached/tcached kernels (any dim)
+    # and the fused dim-2 pallas engine (one extra refinement dispatch);
+    # the day-sharded and grid-sharded engines raise.
+    refine_root: bool = False
     # Re-enable the reference's stage-2 bracket-anchor defect
     # (`calc_var_class.py:132`): the add group's tracked-CDF anchor is set
     # to first_guess instead of second_guess[1], so days with
@@ -919,6 +1070,20 @@ class VaRBacktest:
                 tensors = self.adapter.day_tensors(inputs, self.copula_spec)
                 self._cached_tensors = tensors
                 adapter = self.adapter
+                # refinement twin: the trap sweeps run on the same day
+                # tensors through the xla kernel (refine_root)
+                if isinstance(inputs, MsmIntegrationInputs):
+                    self._refine_kernel = (
+                        ("msm_cached",),
+                        (tensors, jnp.asarray(inputs.forecast_combos),
+                         inputs.x, inputs.dx, inputs.densities, weights,
+                         box_min),
+                    )
+                else:
+                    self._refine_kernel = (
+                        ("garch_cached",),
+                        (tensors, inputs.x, inputs.dx, weights, box_min),
+                    )
 
                 def fn(bounds):
                     return adapter.integrals_pallas(
@@ -1173,7 +1338,7 @@ class VaRBacktest:
         stable-identity while-loop program."""
         inputs = self.integration_inputs
         if self.data.dim != 2:
-            raise ValueError("engine='grid_sharded' requires dim == 2")
+            return self._build_grid_sharded_highdim_fn()
         from copula_var_tpu.parallel.quadrature import (
             grid_sharded_garch_transforms,
             grid_sharded_msm_transforms,
@@ -1219,6 +1384,83 @@ class VaRBacktest:
             kernel_id = ("grid_garch", mesh, kind, box_min)
             aux = (t0, p0, t1, p1, jnp.asarray(inputs.x),
                    jnp.asarray(inputs.dx), weights, params)
+        self._integral_kernel = (kernel_id, aux)
+
+        def fn(bounds):
+            return _call_integral_kernel(kernel_id, jnp.asarray(bounds),
+                                         aux)
+
+        self._integral_fn = fn
+        return fn
+
+    def _build_grid_sharded_highdim_fn(self):
+        """engine='grid_sharded' at dim >= 3 (VERDICT r04 next #4): the
+        OUTERMOST grid coordinate of the tcached density rebuild shards
+        over the mesh's 'grid' axis — each device rebuilds an
+        (n/D, n, ..., n) slab of every day's density, contracts locally,
+        and one psum over ICI reduces the (T,) partials
+        (`parallel/quadrature.grid_sharded_tcached_sweep`). The scaling
+        axis for a single huge dim-3 integral. Requires an adapter with
+        transform columns (`day_columns`)."""
+        inputs = self.integration_inputs
+        if not hasattr(self.adapter, "day_columns"):
+            raise ValueError(
+                "engine='grid_sharded' at dim >= 3 needs a transform-"
+                "column adapter (day_columns)"
+            )
+        weights = jnp.asarray(self.data.weights)
+        box_min = self.box[0]
+        mesh = self._get_mesh()
+        if "grid" not in mesh.axis_names:
+            raise ValueError(
+                "engine='grid_sharded' needs a mesh with a 'grid' axis"
+            )
+        n = int(np.asarray(inputs.x).shape[0])
+        n_dev = mesh.shape["grid"]
+        if n % n_dev:
+            raise ValueError(
+                f"num_points {n} not divisible by the mesh's "
+                f"{n_dev}-device grid axis"
+            )
+        dim = self.data.dim
+        T = self.data.out_sample_n
+        cols = self.adapter.day_columns(inputs, self.copula_spec)
+        is_msm = isinstance(inputs, MsmIntegrationInputs)
+        if is_msm:
+            family = "msm"
+            cols0 = tuple(jnp.asarray(l)[:, 0, :] for l in cols)
+            cols_rest = tuple(jnp.asarray(l)[:, 1:, :] for l in cols)
+            p0 = p_rest = None
+            fcombos = jnp.asarray(inputs.forecast_combos)
+            densities = jnp.asarray(inputs.densities)
+        else:
+            family = "garch"
+            tcols, p_cols = cols
+            cols0 = tuple(jnp.asarray(l)[:, 0, :] for l in tcols)
+            cols_rest = tuple(jnp.asarray(l)[:, 1:, :] for l in tcols)
+            p_cols = jnp.asarray(p_cols)
+            p0, p_rest = p_cols[:, 0, :], p_cols[:, 1:, :]
+            fcombos = None
+            densities = None
+        # per-device slab is n/D of the full day grid: both the chunk
+        # size and the loud per-day transient guard scale by the mesh
+        # width (grid sharding exists precisely to push n past the
+        # single-device budget)
+        from copula_var_tpu.ops.quadrature import MAX_GRID_ELEMENTS_PER_DAY
+
+        per_dev = max(1, n**dim // n_dev)
+        if per_dev > MAX_GRID_ELEMENTS_PER_DAY:
+            raise ValueError(
+                f"per-device grid slab {per_dev:.2e} elements exceeds the "
+                f"{MAX_GRID_ELEMENTS_PER_DAY:.2e}-element transient "
+                "budget; reduce num_points or widen the grid axis"
+            )
+        day_batch = max(1, min(T, (1 << 21) // per_dev))
+        kernel_id = ("grid_tcached", mesh, family, self.copula_spec.kind,
+                     day_batch, box_min)
+        aux = (cols0, cols_rest, p0, p_rest, fcombos,
+               jnp.asarray(inputs.x), jnp.asarray(inputs.dx), densities,
+               weights, self.copula_spec.params)
         self._integral_kernel = (kernel_id, aux)
 
         def fn(bounds):
@@ -1330,11 +1572,14 @@ class VaRBacktest:
         if (self.engine in ("pallas", "sharded_pallas")
                 and self.data.dim == 2):
             self._cached_integral_fn()  # builds self._cached_tensors
+            obj_arr = np.asarray([obj_var], dtype=np.float64)
             roots, nan_days = self._solve_fused_full(
-                np.asarray([obj_var], dtype=np.float64), first_guess,
+                obj_arr, first_guess,
                 second_guess, tolerance, min_var_value, max_var_value,
             )
             self.last_solve_dispatches = 1
+            if self.refine_root:
+                roots = self._refine_fused(roots, obj_arr)
             final = np.where(nan_days, np.nan, roots[0])
             self.solve_seconds = time.time() - t0
             return final + self.data.ptf_mean
@@ -1370,6 +1615,8 @@ class VaRBacktest:
             self.solve_seconds = time.time() - t0
             return final + self.data.ptf_mean
 
+        if self.refine_root:
+            self._check_refine_supported()
         bounds = np.column_stack((np.full(T, -100.0), np.full(T, first_guess)))
         results = self.compute_integral(bounds)
         bis, result_current, upper_stack, prev_upper, nan_days = self._bracket(
@@ -1428,6 +1675,8 @@ class VaRBacktest:
                 min_var_value, max_var_value,
             )
             self.last_solve_dispatches = 1
+            if self.refine_root:
+                roots = self._refine_fused(roots, obj_vars)
             final = np.where(nd[None, :], np.nan, roots)
             self.solve_seconds = time.time() - t0
             return final + self.data.ptf_mean
@@ -1455,6 +1704,8 @@ class VaRBacktest:
             self.solve_seconds = time.time() - t0
             return final + self.data.ptf_mean
 
+        if self.refine_root:
+            self._check_refine_supported()
         bounds = np.column_stack((np.full(T, -100.0), np.full(T, first_guess)))
         results = self.compute_integral(bounds)
         states = [
@@ -1534,6 +1785,9 @@ class VaRBacktest:
                 tolerance, min_var_value, max_var_value,
                 weights=weights_batch,
             )
+            if self.refine_root:
+                roots = self._refine_fused(roots, obj_arr,
+                                           weights=weights_batch)
             nanm = np.broadcast_to(nan_days[None, :], roots.shape)
         elif self.engine not in ("sharded", "sharded_pallas"):
             # any engine with a recognized stable kernel (xla cached/
@@ -1549,6 +1803,8 @@ class VaRBacktest:
                     "integral kernel (xla / pallas dim 3 / grid_sharded)"
                 )
             kernel_id, aux = kern
+            if self.refine_root:
+                self._check_refine_supported()
             cfg = np.array(
                 [first_guess, second_guess[0], second_guess[1],
                  min_var_value, max_var_value], dtype=np.float64,
@@ -1557,6 +1813,9 @@ class VaRBacktest:
                 kernel_id, aux, jnp.asarray(obj_arr),
                 jnp.asarray(weights_batch), jnp.asarray(cfg), tolerance,
                 self.data.out_sample_n, bool(self.reference_quirks),
+                refine=bool(self.refine_root),
+                h=jnp.asarray(self._plateau_h(weights_batch))
+                if self.refine_root else 0.0,
             )
             roots, nanm = jax.device_get((roots, nanm))
             roots, nanm = np.asarray(roots), np.asarray(nanm)
@@ -1633,6 +1892,26 @@ class VaRBacktest:
         ptf_means = np.asarray(self.data.in_sample_mean) @ weights_batch.T
         return final + ptf_means[:, None]
 
+    def _plateau_h(self, weights=None):
+        """+-window half-width for the refinement re-solve: the derived
+        staircase plateau bound (one grid cell x |weights[0]|) — the
+        staircase root and the continuous root always lie within one
+        cell of each other."""
+        w0 = (
+            self.data.weights[0] if weights is None
+            else np.asarray(weights)[..., 0]
+        )
+        return np.max(np.asarray(self.integration_inputs.dx)) * np.abs(w0)
+
+    def _check_refine_supported(self):
+        kern = getattr(self, "_integral_kernel", None)
+        if kern is None or kern[0][0] not in _TRAP_KERNELS:
+            raise ValueError(
+                f"refine_root is not supported on engine="
+                f"{self.engine!r} at dim={self.data.dim} (needs an xla "
+                "cached/tcached kernel or the fused dim-2 pallas engine)"
+            )
+
     def _solve_device_fused(self, obj_vars, first_guess, second_guess,
                             tolerance, min_var_value, max_var_value):
         """One-dispatch solve for any engine with a recognized stable
@@ -1640,6 +1919,8 @@ class VaRBacktest:
         branch-free bracketing + while-loop bisection in one program).
         Returns (roots (L, T), nan_days (L, T)) as numpy."""
         kernel_id, aux = self._integral_kernel
+        if self.refine_root:
+            self._check_refine_supported()
         cfg = np.array(
             [first_guess, second_guess[0], second_guess[1], min_var_value,
              max_var_value], dtype=np.float64,
@@ -1647,9 +1928,37 @@ class VaRBacktest:
         roots, nanm = _device_full_solve_levels_jit(
             kernel_id, aux, jnp.asarray(obj_vars), jnp.asarray(cfg),
             tolerance, self.data.out_sample_n, bool(self.reference_quirks),
+            refine=bool(self.refine_root), h=float(self._plateau_h()),
         )
         roots, nanm = jax.device_get((roots, nanm))
         return np.asarray(roots), np.asarray(nanm)
+
+    def _refine_fused(self, roots, obj_arr, weights=None):
+        """Post-hoc trapezoid refinement for the fused Pallas engine: one
+        extra module-level dispatch against the registered xla cached
+        kernel over the SAME day tensors (refine_root; the fused Mosaic
+        kernel itself returns staircase roots)."""
+        kern = getattr(self, "_refine_kernel", None)
+        if kern is None:
+            raise ValueError(
+                f"refine_root is not supported on engine={self.engine!r} "
+                f"at dim={self.data.dim} (the day-sharded fused engine "
+                "has no refinement kernel; use engine='pallas' or 'xla')"
+            )
+        kernel_id, aux = kern
+        if weights is None:
+            out = _trap_refine_levels_jit(
+                kernel_id, aux, jnp.asarray(roots),
+                jnp.asarray(obj_arr), float(self._plateau_h()),
+            )
+        else:
+            out = _trap_refine_portfolios_jit(
+                kernel_id, aux, jnp.asarray(roots), jnp.asarray(obj_arr),
+                jnp.asarray(weights),
+                jnp.asarray(self._plateau_h(weights)),
+            )
+        self.last_solve_dispatches = 2
+        return np.asarray(jax.device_get(out))
 
     def _solve_fused_full(self, obj_vars, first_guess, second_guess,
                           tolerance, min_var_value, max_var_value,
@@ -1703,6 +2012,13 @@ class VaRBacktest:
         dim-3 Pallas column kernel (shard_map) — bracketing + bisection
         in the same program. Returns (roots (L, T), nan_days (L, T))."""
         from copula_var_tpu.parallel import quadrature as pq
+
+        if self.refine_root:
+            raise ValueError(
+                "refine_root is not supported on the day-sharded engines "
+                "('sharded'/'sharded_pallas'); use engine='xla' or "
+                "'pallas'"
+            )
 
         inputs = self.integration_inputs
         mesh = self._get_mesh()
@@ -1955,6 +2271,7 @@ def create_var_backtest(
     mesh: Optional[object] = None,
     model_fits_override: Optional[list] = None,
     copula_fit_override: Optional[object] = None,
+    refine_root: bool = False,
     **adapter_kwargs,
 ) -> VaRBacktest:
     """3 models x 3 copulas factory (`factory.py:10-31`). Every pair maps
@@ -1974,4 +2291,5 @@ def create_var_backtest(
                        box=box, copula_fit_kwargs=copula_fit_kwargs,
                        engine=engine, pallas_day_block=pallas_day_block,
                        mesh=mesh, model_fits_override=model_fits_override,
-                       copula_fit_override=copula_fit_override)
+                       copula_fit_override=copula_fit_override,
+                       refine_root=refine_root)

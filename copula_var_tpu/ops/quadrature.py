@@ -91,18 +91,18 @@ def halfspace_mask(x, lower, upper, weights, box_min=BOX_MIN):
 
 def _all_pairs_quad(z_cols, sigma_inv):
     """Quadratic form z^T Sigma^-1 z over the tensor-product grid, built
-    from per-dimension coordinate vectors z_cols[d] of shape (n,).
-    Returns an array of shape (n,) * dim."""
+    from per-dimension coordinate vectors z_cols[d] of shape (n_d,) —
+    lengths may differ per dim (the grid-sharded engine chunks the
+    outermost coordinate). Returns an array of shape (n_0, ..., n_{dim-1})."""
     dim = len(z_cols)
-    n = z_cols[0].shape[0]
     out = jnp.zeros((1,) * dim)
     for d in range(dim):
         shape = [1] * dim
-        shape[d] = n
+        shape[d] = z_cols[d].shape[0]
         out = out + sigma_inv[d, d] * (z_cols[d] ** 2).reshape(shape)
         for e in range(d + 1, dim):
             shape_e = [1] * dim
-            shape_e[e] = n
+            shape_e[e] = z_cols[e].shape[0]
             out = out + (2.0 * sigma_inv[d, e]) * (
                 z_cols[d].reshape(shape) * z_cols[e].reshape(shape_e)
             )
@@ -230,6 +230,86 @@ def copula_density_from_transformed(cols, spec: CopulaSpec):
         return jnp.where(finite, ratio, jnp.nan)
 
     raise ValueError(f"unknown copula kind: {spec.kind}")
+
+
+def copula_density_cols(col_list, spec: CopulaSpec):
+    """`copula_density_from_transformed` for RAGGED per-dimension columns:
+    col_list[d] is the transform tuple for grid dim d with its own length
+    n_d (e.g. a device's chunk of the outermost coordinate under the
+    grid-sharded engine). Returns shape (n_0, ..., n_{dim-1})."""
+    dim = len(col_list)
+    lens = [c[0].shape[0] for c in col_list]
+
+    def expand(v, d):
+        shape = [1] * dim
+        shape[d] = lens[d]
+        return v.reshape(shape)
+
+    if spec.kind == "plackett":
+        (theta,) = spec.params
+        if dim != 2:
+            raise ValueError("Plackett copula requires dim == 2")
+        a = col_list[0][0][:, None]
+        b = col_list[1][0][None, :]
+        tm1 = theta - 1.0
+        num = theta * (1.0 + tm1 * (a + b - 2.0 * a * b))
+        den = ((1.0 + tm1 * (a + b)) * (1.0 + tm1 * (1.0 - a - b))) ** 2
+        return num / den
+
+    if spec.kind == "gaussian":
+        (corr,) = spec.params
+        z_cols = [c[0] for c in col_list]
+        sigma_inv, logdet = _chol_inv_logdet(corr)
+        quad = _all_pairs_quad(z_cols, sigma_inv)
+        sum_z2 = jnp.zeros((1,) * dim)
+        for d in range(dim):
+            sum_z2 = sum_z2 + expand(z_cols[d] ** 2, d)
+        return jnp.exp(-0.5 * (logdet + quad - sum_z2))
+
+    if spec.kind == "student":
+        nu, corr = spec.params
+        nu = jnp.asarray(nu, dtype=col_list[0][0].dtype)
+        z_cols = [c[0] for c in col_list]
+        sigma_inv, logdet = _chol_inv_logdet(corr)
+        quad = _all_pairs_quad(z_cols, sigma_inv)
+        log_mvt = (
+            gammaln((nu + dim) / 2.0)
+            - gammaln(nu / 2.0)
+            - (dim / 2.0) * jnp.log(nu * jnp.pi)
+            - 0.5 * logdet
+            - ((nu + dim) / 2.0) * jnp.log1p(quad / nu)
+        )
+        log_uni_sum = jnp.zeros((1,) * dim)
+        finite = jnp.ones((1,) * dim, dtype=bool)
+        for d in range(dim):
+            log_uni_sum = log_uni_sum + expand(col_list[d][2], d)
+            finite = finite & expand(col_list[d][1], d)
+        ratio = jnp.exp(log_mvt - log_uni_sum)
+        return jnp.where(finite, ratio, jnp.nan)
+
+    raise ValueError(f"unknown copula kind: {spec.kind}")
+
+
+def halfspace_mask_cols(x_cols, lower, upper, weights, box_min=BOX_MIN):
+    """`halfspace_mask` for RAGGED per-dimension coordinate vectors
+    x_cols[d] of length n_d (the grid-sharded chunk of the outermost
+    dim). Same cut semantics: inner strict-lower/inclusive-upper, outer
+    dims unmasked."""
+    weights = jnp.asarray(weights)
+    dim = weights.shape[0]
+    lens = [c.shape[0] for c in x_cols]
+    if dim == 1:
+        prev = jnp.zeros(())
+    else:
+        prev = jnp.zeros((1,) * (dim - 1))
+        for d in range(dim - 1):
+            shape = [1] * (dim - 1)
+            shape[d] = lens[d]
+            prev = prev + x_cols[d].reshape(shape) * weights[1 + d]
+    dyn_upper = (upper - prev) / weights[0]
+    dyn_lower = jnp.maximum((lower - prev) / weights[0], box_min)
+    xs = x_cols[-1].reshape((1,) * (dim - 1) + (lens[-1],))
+    return (xs > dyn_lower[..., None]) & (xs <= dyn_upper[..., None])
 
 
 def grid_copula_density(u_cols, spec: CopulaSpec):
@@ -634,4 +714,133 @@ def garch_integrals_tcached(bounds, cols, p_cols, x, dx, weights,
     return _garch_tcached(
         bounds, cols, p_cols, x, jnp.asarray(dx), jnp.asarray(weights),
         box_min, spec.kind, spec.params, day_batch,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trapezoid refinement sweeps (refine_root — VERDICT r04 next #3)
+# ---------------------------------------------------------------------------
+#
+# The production masked sweeps reproduce the reference's right-rectangle
+# rule with a HARD inner cut (`create_grids.py:102-110`): the CDF is a
+# staircase in the VaR bound and the rule is first-order, so the solved
+# root carries an O(cell) systematic bias vs the continuous quantile
+# (measured: mean -1.5e-2 at n=100 on the closed-form Gaussian check —
+# bias, not plateau rounding, dominates). The refinement pass re-solves
+# in a +-cell window around the staircase root against a SECOND-ORDER
+# estimate of the same integrand: trapezoid node weights (each node owns
+# [x_k - tw_k/2, x_k + tw_k/2]) and FRACTIONAL inclusion of the boundary
+# cell, which makes F continuous and piecewise-linear in the bound.
+# Opt-in (`VaRBacktest.refine_root`); the default path is untouched, so
+# reference parity is preserved.
+
+
+def trap_weights(x):
+    """Second-order (trapezoid) node weights for the non-uniform grid:
+    interior node k owns (x_{k+1} - x_{k-1}) / 2; the end nodes own one
+    full adjacent step (their cells extend past the box edge, matching
+    the reference's duplicated first step)."""
+    x = jnp.asarray(x)
+    return jnp.concatenate([
+        (x[1] - x[0])[None], (x[2:] - x[:-2]) / 2.0, (x[-1] - x[-2])[None],
+    ])
+
+
+def halfspace_frac(x, tw, lower, upper, weights, box_min=BOX_MIN):
+    """Fractional-cell analog of `halfspace_mask`: the inner-dimension
+    boundary node is included in proportion to how much of its owned cell
+    [x_k - tw_k/2, x_k + tw_k/2] lies inside {lower < w.x <= upper}.
+    Returns a float array of shape (n,) * dim (continuous in the
+    bounds — the staircase becomes piecewise-linear)."""
+    weights = jnp.asarray(weights)
+    dim = weights.shape[0]
+    n = x.shape[0]
+    if dim == 1:
+        prev = jnp.zeros(())
+    else:
+        prev = jnp.zeros((1,) * (dim - 1))
+        for d in range(dim - 1):
+            shape = [1] * (dim - 1)
+            shape[d] = n
+            prev = prev + x.reshape(shape) * weights[1 + d]
+    dyn_upper = (upper - prev) / weights[0]
+    dyn_lower = jnp.maximum((lower - prev) / weights[0], box_min)
+    cell_lo = (x - tw / 2.0).reshape((1,) * (dim - 1) + (n,))
+    tws = tw.reshape((1,) * (dim - 1) + (n,))
+    a_up = jnp.clip((dyn_upper[..., None] - cell_lo) / tws, 0.0, 1.0)
+    a_lo = jnp.clip((dyn_lower[..., None] - cell_lo) / tws, 0.0, 1.0)
+    return jnp.maximum(a_up - a_lo, 0.0)
+
+
+def msm_integrals_trap(bounds, C, forecast_combos, x, densities, weights,
+                       box_min=BOX_MIN):
+    """(T,) trapezoid/fractional-cell integrals from the dim-2 MSM day
+    tensors (refinement twin of `msm_integrals_cached`)."""
+    x = jnp.asarray(x)
+    tw = trap_weights(x)
+    w_cols = state_weight_matrices(densities, tw)
+
+    def one_day(b, c, fc):
+        A = halfspace_frac(x, tw, b[0], b[1], weights, box_min)
+        per_combo = (w_cols[0] @ (c * A) @ w_cols[1].T).reshape(-1)
+        return jnp.sum(per_combo * fc)
+
+    return jax.vmap(one_day)(bounds, C, forecast_combos)
+
+
+def garch_integrals_trap(bounds, V, x, weights, box_min=BOX_MIN):
+    """(T,) trapezoid/fractional-cell integrals from the dim-2 GARCH/MR
+    day tensors (refinement twin of `garch_integrals_cached`)."""
+    x = jnp.asarray(x)
+    tw = trap_weights(x)
+
+    def one_day(b, v):
+        A = halfspace_frac(x, tw, b[0], b[1], weights, box_min)
+        return tw @ (v * A) @ tw
+
+    return jax.vmap(one_day)(bounds, V)
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "day_batch"))
+def _msm_tcached_trap(bounds, cols, fcombos, x, densities, weights, box_min,
+                      kind, params, day_batch):
+    spec = CopulaSpec(kind, params)
+    tw = trap_weights(x)
+    w_cols = state_weight_matrices(densities, tw)
+
+    def one_day(args):
+        b, c, fc = args
+        C = copula_density_from_transformed(c, spec)
+        A = halfspace_frac(x, tw, b[0], b[1], weights, box_min)
+        per_combo = _contract_states(C * A, w_cols).reshape(-1)
+        return jnp.sum(per_combo * fc)
+
+    return jax.lax.map(
+        one_day, (bounds, cols, fcombos), batch_size=day_batch
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "day_batch"))
+def _garch_tcached_trap(bounds, cols, p_cols, x, weights, box_min, kind,
+                        params, day_batch):
+    spec = CopulaSpec(kind, params)
+    dim = p_cols.shape[1]
+    n = x.shape[0]
+    tw = trap_weights(x)
+
+    def one_day(args):
+        b, c, p = args
+        C = copula_density_from_transformed(c, spec)
+        pdf_prod = jnp.ones((1,) * dim)
+        for d in range(dim):
+            shape = [1] * dim
+            shape[d] = n
+            pdf_prod = pdf_prod * p[d].reshape(shape)
+        V = jnp.nan_to_num(C * pdf_prod)
+        A = halfspace_frac(x, tw, b[0], b[1], weights, box_min)
+        w_cols = [tw[None, :]] * dim
+        return _contract_states(V * A, w_cols).reshape(())
+
+    return jax.lax.map(
+        one_day, (bounds, cols, p_cols), batch_size=day_batch
     )

@@ -739,6 +739,99 @@ def _transform_columns(u, spec: CopulaSpec):
     return transform_u_columns(u, spec)
 
 
+def grid_sharded_tcached_sweep(mesh, bounds, cols0, cols_rest, p0, p_rest,
+                               fcombos, x, dx, densities, weights, kind,
+                               params, family, day_batch, box_min=-5.0,
+                               grid_axis="grid"):
+    """(T,) integrals at dim >= 3 with the OUTERMOST grid coordinate
+    sharded over `mesh` (VERDICT r04 next #4 — the one genuinely useful
+    grid_sharded hole: a single huge dim-3 integral across a slice).
+
+    Each device holds n/D rows of every day's density slab: the tcached
+    rebuild (`ops/quadrature._msm_tcached` semantics, ragged-column form
+    via `copula_density_cols`) runs on the (n/D, n, ..., n) chunk, the
+    per-day partial contracts locally, and ONE `psum` over ICI reduces
+    the (T,) partials (the combo contraction is linear, so the psum
+    commutes past it). cols0/p0 are the dim-0 transform/pdf columns
+    (T, n) — sharded on their grid axis; cols_rest/p_rest hold dims
+    1..dim-1 replicated. Traceable (usable inside the jitted while-loop
+    solvers). Ref workload: `create_grids.py:127-143` outer-dim
+    recursion."""
+    from copula_var_tpu.ops.quadrature import (
+        CopulaSpec as _Spec,
+        _contract_states,
+        copula_density_cols,
+        halfspace_mask_cols,
+    )
+
+    spec = _Spec(kind, params)
+    is_msm = family == "msm"
+    dim = int(jnp.asarray(weights).shape[0])  # static (shape, not value)
+    x = jnp.asarray(x)
+    dx = jnp.asarray(dx)
+    weights = jnp.asarray(weights)
+    if is_msm:
+        # rotated density rows (`create_grids.py:121,143`): grid dim d
+        # uses densities[(d-1) % dim]; dim 0's row is column-sharded
+        w0_full = densities[(0 - 1) % dim] * dx[None, :]
+        w_rest = [densities[(d - 1) % dim] * dx[None, :]
+                  for d in range(1, dim)]
+    else:
+        w0_full = dx[None, :]  # q = 1
+        w_rest = None
+
+    def shard_fn(b, c0, cr, p0c, prc, fc, x0_chunk, w0_chunk):
+        def one_day(args):
+            b_i, c0_i, cr_i, p0_i, pr_i, fc_i = args
+            col_list = [c0_i] + [
+                tuple(l[d - 1] for l in cr_i) for d in range(1, dim)
+            ]
+            C = copula_density_cols(col_list, spec)
+            M = halfspace_mask_cols(
+                [x0_chunk] + [x] * (dim - 1), b_i[0], b_i[1], weights,
+                box_min,
+            )
+            if is_msm:
+                V = jnp.where(M, C, 0.0)
+                w_cols = [w0_chunk] + w_rest
+                S = _contract_states(V, w_cols).reshape(-1)
+                return jnp.sum(S * fc_i)
+            lens = [x0_chunk.shape[0]] + [x.shape[0]] * (dim - 1)
+            pdf = jnp.ones((1,) * dim)
+            cols_p = [p0_i] + [pr_i[d - 1] for d in range(1, dim)]
+            for d in range(dim):
+                shape = [1] * dim
+                shape[d] = lens[d]
+                pdf = pdf * cols_p[d].reshape(shape)
+            V = jnp.where(M, jnp.nan_to_num(C * pdf), 0.0)
+            w_cols = [w0_chunk] + [dx[None, :]] * (dim - 1)
+            return _contract_states(V, w_cols).reshape(())
+
+        part = jax.lax.map(
+            one_day, (b, c0, cr, p0c, prc, fc), batch_size=day_batch
+        )
+        return jax.lax.psum(part, grid_axis)
+
+    T = jnp.asarray(bounds).shape[0]
+    if fcombos is None:
+        fcombos = jnp.zeros((T, 0))
+    if p0 is None:
+        p0 = jnp.zeros((T, 0))
+        p_rest = jnp.zeros((T, 0, 0))
+    f = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(None, grid_axis), P(), P(None, grid_axis), P(), P(),
+            P(grid_axis), P(None, grid_axis),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return f(jnp.asarray(bounds), cols0, cols_rest, jnp.asarray(p0),
+             jnp.asarray(p_rest), jnp.asarray(fcombos), x, w0_full)
+
+
 def _chunk_copula_from_transformed(c0, c1, spec: CopulaSpec):
     """Copula density on the (chunk, n) coordinate product from
     pre-transformed columns — the two-column specialization of

@@ -298,3 +298,48 @@ def test_grid_sharded_rejects_indivisible_num_points(rng):
     )
     with pytest.raises(ValueError, match="not divisible"):
         bt.calc_var()
+
+
+def test_grid_sharded_dim3_matches_xla(rng):
+    """engine='grid_sharded' at dim >= 3 (r04 next #4): the OUTERMOST
+    grid coordinate of the tcached rebuild shards over the 'grid' axis
+    with one psum — f64-exact vs the single-device xla engine."""
+    n_total, N, dim = 150, 120, 3
+    rets = rng.standard_normal((n_total, dim)) * (
+        1.0 + 0.4 * np.abs(np.sin(np.arange(n_total) / 13.0))[:, None]
+    )
+    data = returns_mod.from_returns(rets, n_insample=N)
+    bt_x = create_var_backtest(data, "garch", "gaussian", num_points=16,
+                               engine="xla", p_max=1, q_max=1)
+    v_x = bt_x.calc_var()
+    bt_g = create_var_backtest(data, "garch", "gaussian", num_points=16,
+                               engine="grid_sharded", p_max=1, q_max=1,
+                               model_fits_override=bt_x.model_fits,
+                               copula_fit_override=bt_x.copula_fit)
+    np.testing.assert_allclose(bt_g.calc_var(), v_x, atol=1e-12)
+    assert bt_g._integral_kernel[0][0] == "grid_tcached"
+    # portfolio batch rides the same kernel (weights only shape the mask)
+    wb = np.array([[1 / 3, 1 / 3, 1 / 3], [0.2, 0.3, 0.5]])
+    ports = bt_g.calc_var_portfolios(wb, obj_var=0.05)
+    ports_x = bt_x.calc_var_portfolios(wb, obj_var=0.05)
+    np.testing.assert_allclose(ports, ports_x, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_grid_sharded_dim3_msm_student(rng):
+    """dim-3 MSM + student through the grid-sharded tcached kernel: the
+    rotated density rows, state combos, and t_ppf transform columns all
+    survive the chunked rebuild (f64-exact vs xla)."""
+    n_total, N, dim = 140, 120, 3
+    rets = rng.standard_normal((n_total, dim)) * (
+        1.0 + 0.3 * np.abs(np.cos(np.arange(n_total) / 9.0))[:, None]
+    )
+    data = returns_mod.from_returns(rets, n_insample=N)
+    bt_x = create_var_backtest(data, "msm", "student", num_points=16,
+                               engine="xla", k=2, basin_iter=5)
+    v_x = bt_x.calc_var()
+    bt_g = create_var_backtest(data, "msm", "student", num_points=16,
+                               engine="grid_sharded", k=2,
+                               model_fits_override=bt_x.model_fits,
+                               copula_fit_override=bt_x.copula_fit)
+    np.testing.assert_allclose(bt_g.calc_var(), v_x, atol=1e-12)
