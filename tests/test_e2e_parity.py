@@ -407,3 +407,151 @@ def test_e2e_msm_student(sequential_joblib, monkeypatch):
     ours = bt.calc_var(obj_var=0.05, first_guess=-3.0,
                        second_guess=(-3.5, -2.0))
     _assert_series_match(ours, ref_var)
+
+
+# --- the remaining 4 cells of the 3 x 3 model x copula grid -----------------
+#
+# (VERDICT r04 next #5) The 5 named tests above cover every family and
+# copula at least once; this parametrized harness closes the grid so all
+# 9 combinations (`utils/factory.py:10-31`) are golden day-by-day.
+
+_GARCH_P = [(0.05, 0.08, 0.88), (0.10, 0.12, 0.80)]
+_MSM_P = [(0.5, 0.9, 4.0, 0.4), (0.6, 1.1, 2.5, 0.6)]  # (m_0, sig, b, gm)
+_MR_P = [(0.95, -0.10, 0.20), (0.90, 0.05, 0.30)]  # (a, l, q)
+_CORR = np.array([[1.0, 0.45], [0.45, 1.0]])
+_NU, _THETA, _K = 5.0, 4.0, 2
+
+
+def _prefill_model_cache(family):
+    abc = ref("utils.calc_var_ABC")
+    if family == "garch":
+        abc.SharedCacheCopulaGarchVaR.cache.clear()
+        for ticker, (omega, alpha, beta) in zip(TICKERS, _GARCH_P):
+            abc.SharedCacheCopulaGarchVaR.cache[ticker] = {
+                "optimal_params": {
+                    "best_pq": (1, 1),
+                    "best_params": np.array([omega, alpha, beta]),
+                    "best_bic": 0.0,
+                }
+            }
+        return ref(
+            "utils.model_estimation.model.garch_estimation"
+        ).GarchEstimation()
+    if family == "msm":
+        abc.SharedCacheCopulaMSMVaR.cache.clear()
+        for ticker, (m_0, sig, b, gamma) in zip(TICKERS, _MSM_P):
+            abc.SharedCacheCopulaMSMVaR.cache[(ticker, _K)] = {
+                "optimal_params": {"m_0": m_0, "sig": sig, "b": b,
+                                   "gamma": gamma}
+            }
+        return ref(
+            "utils.model_estimation.model.msm_estimation"
+        ).MSMEstimation()
+    abc.SharedCacheCopulaMRVaR.cache.clear()
+    for ticker, (a, l, q) in zip(TICKERS, _MR_P):
+        abc.SharedCacheCopulaMRVaR.cache[ticker] = {
+            "optimal_params": {"a": a, "l": l, "q": q}
+        }
+    return ref(
+        "utils.model_estimation.model.mean_reverting_estimation"
+    ).MeanRevertingEstimation()
+
+
+def _ref_copula_wrapper(copula, model_est, monkeypatch):
+    if copula == "gaussian":
+        gw = ref("utils.model_estimation.copula.gaussian_estimation")
+        monkeypatch.setattr(
+            gw.GaussianCopulaVaR, "copula_or_correl_params_insample",
+            staticmethod(lambda m, d: {"corr_matrix": _CORR}),
+        )
+        return gw.GaussianCopulaVaR(model_est)
+    if copula == "student":
+        sw = ref("utils.model_estimation.copula.student_estimation")
+        monkeypatch.setattr(
+            sw.StudentCopulaVaR, "copula_or_correl_params_insample",
+            staticmethod(lambda m, d: {
+                "optimized_params": np.array([_NU]), "corr_matrix": _CORR,
+            }),
+        )
+        return sw.StudentCopulaVaR(model_est)
+    pw = ref("utils.model_estimation.copula.plackett_estimation")
+    monkeypatch.setattr(
+        pw.PlackettCopulaVaR, "copula_or_correl_params_insample",
+        staticmethod(lambda m, d: {"theta": _THETA}),
+    )
+    return pw.PlackettCopulaVaR(model_est)
+
+
+def _our_side(family, copula, returns, N, weights, num_points):
+    from copula_var_tpu.backtest import (
+        GarchAdapter, MeanRevertingAdapter, MsmAdapter, VaRBacktest,
+    )
+    from copula_var_tpu.copulas.fit import (
+        GaussianFit, PlackettFit, StudentFit,
+    )
+    from copula_var_tpu.data.returns import from_returns
+    from copula_var_tpu.models.fit import GarchFit, MsmFit, UkfFit
+
+    data = from_returns(returns, TICKERS, N, weights)
+    if family == "garch":
+        adapter = GarchAdapter()
+        fits = [
+            GarchFit(1, 1, o, np.array([a]), np.array([b]), 0.0, 0.0,
+                     np.array([o, a, b]))
+            for (o, a, b) in _GARCH_P
+        ]
+    elif family == "msm":
+        adapter = MsmAdapter(k=_K)
+        fits = [
+            MsmFit(m_0=m, b=b, gamma=g, sigma=s, log_likelihood=0.0)
+            for (m, s, b, g) in _MSM_P
+        ]
+    else:
+        adapter = MeanRevertingAdapter()
+        fits = [UkfFit(a=a, l=l, q=q, log_likelihood=0.0)
+                for (a, l, q) in _MR_P]
+    cop_fit = {
+        "gaussian": GaussianFit(_CORR, 0.0, np.array([_CORR[0, 1]])),
+        "student": StudentFit(_NU, _CORR, 0.0,
+                              np.array([_NU, _CORR[0, 1]])),
+        "plackett": PlackettFit(_THETA, 0.0, np.array([_THETA])),
+    }[copula]
+    return VaRBacktest(
+        data, adapter, copula, num_points=num_points,
+        model_fits_override=fits, copula_fit_override=cop_fit,
+        reference_quirks=True,
+    )
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "family,copula",
+    [
+        ("msm", "gaussian"),
+        ("garch", "plackett"),
+        ("mean_reverting", "gaussian"),
+        ("mean_reverting", "student"),
+    ],
+)
+def test_e2e_grid_remaining_cells(family, copula, sequential_joblib,
+                                  monkeypatch):
+    rng = np.random.default_rng(101)
+    N, T, num_points = 110, 10, 36
+    weights = np.array([0.6, 0.4])
+    returns = _correlated_returns(rng, N + T, 0.4, (1.0, 1.1))
+
+    _inject_reference_data(returns)
+    model_est = _prefill_model_cache(family)
+    wrapper = _ref_copula_wrapper(copula, model_est, monkeypatch)
+    cvc = ref("utils.calc_var_class")
+    kw = {"k": _K} if family == "msm" else {}
+    calc = cvc.ValueAtRiskCalcualtion(
+        TICKERS, START, N, wrapper, None, num_points, weights, **kw,
+    )
+    ref_var = calc.calc_var(obj_var=0.05, first_guess=-3,
+                            second_guess=(-3.5, -2))
+
+    bt = _our_side(family, copula, returns, N, weights, num_points)
+    ours = bt.calc_var(obj_var=0.05, first_guess=-3.0,
+                       second_guess=(-3.5, -2.0))
+    _assert_series_match(ours, ref_var)
