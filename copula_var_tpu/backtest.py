@@ -568,7 +568,8 @@ class MsmAdapter:
     def __init__(self, k: int = 4, basin_iter: int = 100, seed: int = 0,
                  step_size: float = 0.2, b_values=None,
                  gamma_weight: float = 0.0, b_weight: float = 0.0,
-                 bounds=None, reference_quirks: bool = False):
+                 bounds=None, reference_quirks: bool = False,
+                 polish_max_iter: int = 200):
         self.k = k
         self.basin_iter = basin_iter
         self.seed = seed
@@ -577,6 +578,7 @@ class MsmAdapter:
         self.gamma_weight = gamma_weight
         self.b_weight = b_weight
         self.bounds = bounds
+        self.polish_max_iter = polish_max_iter
         # reproduce the reference's optimizer-trajectory defects
         # (min-LL start selection; see models/fit.fit_msm)
         self.reference_quirks = reference_quirks
@@ -591,6 +593,7 @@ class MsmAdapter:
             gamma_weight=self.gamma_weight, b_weight=self.b_weight,
             seed=self.seed, bounds=self.bounds,
             reference_quirks=self.reference_quirks,
+            polish_max_iter=self.polish_max_iter,
         )
 
     @staticmethod

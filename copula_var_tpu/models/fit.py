@@ -558,6 +558,7 @@ def fit_msm(
     seed: int = 0,
     bounds=None,
     reference_quirks: bool = False,
+    polish_max_iter: int = 200,
 ) -> MsmFit:
     """Basin-hopping MLE over (m_0, b, gamma), sigma closed-form.
 
@@ -578,6 +579,7 @@ def fit_msm(
         basin_iter=basin_iter, step_size=step_size, b_values=b_values,
         gamma_weight=gamma_weight, b_weight=b_weight, seed=seed,
         bounds=bounds, reference_quirks=reference_quirks,
+        polish_max_iter=polish_max_iter,
     )[0]
 
 
@@ -610,6 +612,7 @@ def fit_msm_batch(
     seed: int = 0,
     bounds=None,
     reference_quirks: bool = False,
+    polish_max_iter: int = 200,
 ) -> list:
     """`fit_msm` for an ENTIRE (T, A) asset panel: the basin hops of all
     assets advance in lockstep as ONE device program (`basin_assets`), the
@@ -620,7 +623,12 @@ def fit_msm_batch(
 
     Asset i uses PRNGKey(seed + i) — the same stream as a sequential
     `fit_msm(..., seed=seed + i)` loop, so results match the per-asset
-    path."""
+    path.
+
+    polish_max_iter caps the L-BFGS polish (per-eval cost scales with
+    2^k: at k >= 10 on CPU a full 200-iteration polish is minutes —
+    pass a small cap for large-k fits where the basin hop already
+    lands near the optimum; polish_max_iter=0 skips the polish)."""
     returns_2d = np.asarray(returns_2d, dtype=float)
     n, A = returns_2d.shape
     if b_values is None:
@@ -656,7 +664,7 @@ def fit_msm_batch(
     # (`ops/lbfgs.box_lbfgs_batch` rows = asset x top-start; the returns
     # and variance ride `batched_args`). The loss has a stable identity
     # per k (`_msm_polish_loss`) so the program compiles once per k.
-    if not reference_quirks:
+    if not reference_quirks and polish_max_iter > 0:
         from copula_var_tpu.ops.lbfgs import box_lbfgs_batch
 
         top = 3
@@ -675,6 +683,7 @@ def fit_msm_batch(
                 jnp.broadcast_to(bw, (A * top,)),
                 jnp.broadcast_to(n_j, (A * top,)),
             ),
+            max_iter=polish_max_iter,
         )
         xs = np.asarray(jax.device_get(xs)).reshape(A, top, 3)
         fs = np.asarray(jax.device_get(fs)).reshape(A, top)

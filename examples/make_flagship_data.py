@@ -60,24 +60,73 @@ def flagship_prices():
     return prices.T  # (N_PRICES, 2)
 
 
-def main(path="data/flagship.csv"):
+def write_flagship_csv(prices, dates, columns, path):
+    """Write the committed flagship schema: a `date` column (ISO) plus
+    one adjusted-close column per ticker, prices rounded to 6 decimals.
+    `copula_var_tpu.data.from_csv(path, n_insample=1135)` consumes it
+    directly (schema round-trip asserted by tests/test_flagship.py)."""
     import pandas as pd
 
-    prices = flagship_prices()
-    dates = pd.bdate_range(START, periods=N_PRICES)
-    df = pd.DataFrame(
-        {"date": dates.strftime("%Y-%m-%d"),
-         COLUMNS[0]: np.round(prices[:, 0], 6),
-         COLUMNS[1]: np.round(prices[:, 1], 6)}
-    )
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    df = pd.DataFrame({"date": dates})
+    for i, c in enumerate(columns):
+        df[c] = np.round(np.asarray(prices)[:, i], 6)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     df.to_csv(path, index=False)
-    rets = np.log(prices[1:] / prices[:-1]) * 100.0
-    print(f"wrote {path}: {len(df)} rows")
+    rets = np.log(np.asarray(prices)[1:] / np.asarray(prices)[:-1]) * 100.0
+    print(f"wrote {path}: {len(df)} rows, columns {list(columns)}")
     print(f"  daily ret mean {rets.mean(axis=0).round(4)} "
           f"std {rets.std(axis=0).round(3)} "
           f"corr {np.corrcoef(rets.T)[0, 1]:.3f}")
+    return df
+
+
+def real_flagship_prices():
+    """The REFERENCE's actual dataset (`data_loader/load_data.py:59-66`):
+    ^GSPC/^IXIC adjusted closes from 2009-04-15 through 2015-10-12,
+    downloaded via yfinance. Gated: this build image has no network, so
+    the call raises a clear error offline — when network exists, this is
+    the one command that swaps the synthetic stand-in for the real
+    window (README 'Real-data drill')."""
+    try:
+        import yfinance as yf
+    except ImportError as e:
+        raise RuntimeError(
+            "the real flagship dataset needs the yfinance package and "
+            "network access (this environment has neither); the pinned "
+            "synthetic stand-in is the offline default"
+        ) from e
+    px = yf.download(
+        ["^GSPC", "^IXIC"], start="2009-04-15", end="2015-10-13",
+        auto_adjust=False,
+    )["Adj Close"]
+    px = px[["^GSPC", "^IXIC"]].dropna()
+    return (px.to_numpy(), px.index.strftime("%Y-%m-%d").tolist(),
+            ("GSPC", "IXIC"))
+
+
+def main(argv=None):
+    import argparse
+
+    import pandas as pd
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("path", nargs="?", default="data/flagship.csv")
+    ap.add_argument(
+        "--from-yfinance", action="store_true",
+        help="download the REAL ^GSPC/^IXIC window (needs network) "
+             "instead of generating the pinned synthetic stand-in; "
+             "afterwards re-run `python examples/flagship.py` to re-pin "
+             "the VaR hashes/stats/plot on the real data",
+    )
+    args = ap.parse_args(argv)
+    if args.from_yfinance:
+        prices, dates, columns = real_flagship_prices()
+        write_flagship_csv(prices, dates, columns, args.path)
+        return
+    prices = flagship_prices()
+    dates = pd.bdate_range(START, periods=N_PRICES).strftime("%Y-%m-%d")
+    write_flagship_csv(prices, list(dates), COLUMNS, args.path)
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    main()

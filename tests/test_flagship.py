@@ -71,3 +71,36 @@ def test_flagship_var_series_reproduces(est):
     kup = stats.kupiec_pof(ptf, var, float(rec["obj_var"]))
     np.testing.assert_allclose(kup.p_value, float(rec[f"{est}_kupiec_p"]),
                                atol=1e-9)
+
+
+def test_flagship_schema_round_trip(tmp_path):
+    """Real-data readiness drill (VERDICT r04 next #9): the shared CSV
+    writer produces exactly the schema `from_csv` consumes — when
+    network exists, `python examples/make_flagship_data.py
+    --from-yfinance` swaps in the real ^GSPC/^IXIC window with no other
+    code changes."""
+    import pandas as pd
+
+    from examples.make_flagship_data import write_flagship_csv
+    from copula_var_tpu.data import from_csv
+
+    rng = np.random.default_rng(1)
+    n = 40
+    prices = 100.0 * np.exp(
+        np.cumsum(rng.standard_normal((n, 2)) * 0.01, axis=0)
+    )
+    dates = pd.bdate_range("2009-04-15", periods=n).strftime("%Y-%m-%d")
+    path = str(tmp_path / "fl.csv")
+    write_flagship_csv(prices, list(dates), ("GSPC", "IXIC"), path)
+    data = from_csv(path, n_insample=30)
+    assert data.tickers == ["GSPC", "IXIC"]
+    assert data.returns.shape == (n - 1, 2)
+    want = np.log(np.round(prices[1:], 6) / np.round(prices[:-1], 6)) * 100
+    np.testing.assert_allclose(data.returns, want, atol=1e-9)
+
+
+def test_flagship_yfinance_path_gated_offline():
+    from examples.make_flagship_data import real_flagship_prices
+
+    with pytest.raises(RuntimeError, match="yfinance"):
+        real_flagship_prices()
