@@ -540,7 +540,11 @@ def _msm_polish_loss(k: int):
         m0, b, gm = p[0], p[1], p[2]
         factor = (m0**2 - 2 * m0 + 2) ** (k / 2)
         sigma = jnp.sqrt(sample_var) / factor
-        ll = msm_mod.log_likelihood(k, m0, sigma, b, gm, r)
+        # safe_layout: this loss sits under the polish's jacfwd — at
+        # large k the fused (2,)*k Kronecker apply is not
+        # differentiation-safe (models/msm.kron_transition_matvec_safe)
+        ll = msm_mod.log_likelihood(k, m0, sigma, b, gm, r,
+                                    safe_layout=True)
         reg = gamma_weight * n * (gm - 0.5) ** 2 + b_weight * n * (1.0 / b) ** 2
         return -ll + reg
 
@@ -684,6 +688,10 @@ def fit_msm_batch(
                 jnp.broadcast_to(n_j, (A * top,)),
             ),
             max_iter=polish_max_iter,
+            # forward-mode: 3 JVPs, zero scan-residual storage — the
+            # reverse-mode residuals of the 2^k-state filter pad 21x on
+            # TPU and OOM at k = 12 (models/msm.kron_transition_matvec)
+            fwd_grad=True,
         )
         xs = np.asarray(jax.device_get(xs)).reshape(A, top, 3)
         fs = np.asarray(jax.device_get(fs)).reshape(A, top)

@@ -78,21 +78,65 @@ def transition_matrix(k: int, b, gamma) -> jax.Array:
     return mat
 
 
-def kron_transition_matvec(p_factors: jax.Array, v: jax.Array) -> jax.Array:
-    """Apply the Kronecker-structured transition to v of shape (..., 2^k)
-    in O(k 2^k): one symmetric 2x2 contraction per component."""
-    k = p_factors.shape[0]
+def _kron_apply(factors_01, v):
+    """Factored apply: per component j, contract axis j of the reshaped
+    (2,)*k state with the symmetric 2x2 matrix [[a_j, b_j], [b_j, a_j]]
+    (factors_01 rows are (a_j, b_j)). XLA fuses the per-factor ops
+    without materializing the tiny-trailing-axis intermediates, so the
+    FORWARD pass is fast on TPU (72 ms/eval at k=12 vs 438 ms for a
+    strided-slice reformulation that forces per-step relayouts)."""
+    k = factors_01.shape[0]
     batch_shape = v.shape[:-1]
     t = v.reshape(batch_shape + (2,) * k)
     nb = len(batch_shape)
     for j in range(k):
         tj = jnp.moveaxis(t, nb + j, -1)
         t0, t1 = tj[..., 0], tj[..., 1]
-        p = p_factors[j]
-        q = 1.0 - p
-        out = jnp.stack([p * t0 + q * t1, q * t0 + p * t1], axis=-1)
+        a = factors_01[j, 0]
+        b = factors_01[j, 1]
+        out = jnp.stack([a * t0 + b * t1, b * t0 + a * t1], axis=-1)
         t = jnp.moveaxis(out, -1, nb + j)
     return t.reshape(batch_shape + (2**k,))
+
+
+def kron_transition_matvec(p_factors: jax.Array, v: jax.Array) -> jax.Array:
+    """Apply the Kronecker-structured transition to v of shape (..., 2^k)
+    in O(k 2^k): one symmetric 2x2 contraction per component.
+
+    Memory note: REVERSE-mode autodiff through the (2,)*k reshapes
+    materializes broadcast residuals whose tiny trailing axes pad 21x
+    under TPU (8, 128) tiling — at k = 12 the scan-remat gradient
+    ballooned 53 MB buffers to 1.1 GB each and OOM'd the chip. The MSM
+    optimizers therefore differentiate the likelihood in FORWARD mode
+    (3 parameters -> 3 JVPs, zero residual storage;
+    `ops/lbfgs.box_lbfgs_batch(fwd_grad=True)`); forward-mode tangents
+    ride the same fused per-factor ops as the primal.
+    """
+    p = p_factors
+    return _kron_apply(jnp.stack([p, 1.0 - p], axis=-1), v)
+
+
+def kron_transition_matvec_safe(p_factors: jax.Array, v: jax.Array):
+    """Layout-safe Kronecker apply: every intermediate stays flat
+    (..., 2^k / 2^(k-1)) — each step contracts the CURRENT
+    least-significant bit via even/odd strided slices, then rotates the
+    bit order right by concatenating the halves (after k steps the
+    order returns to the original). ~6x slower than the fused
+    `kron_transition_matvec` on plain forward evals (stride-2 minor
+    relayouts), but it is the only form whose DIFFERENTIATION compiles
+    at large k: any grad/jvp of the (2,)*k form makes XLA materialize
+    per-step broadcasts that pad 21x under (8, 128) tiling — 26.7 GB of
+    planned HBM at k = 12 (used by `filter_states(safe_layout=True)`
+    inside the polish loss)."""
+    k = p_factors.shape[0]
+    t = v
+    for j in range(k - 1, -1, -1):
+        t0 = t[..., 0::2]
+        t1 = t[..., 1::2]
+        p = p_factors[j]
+        q = 1.0 - p
+        t = jnp.concatenate([p * t0 + q * t1, q * t0 + p * t1], axis=-1)
+    return t
 
 
 def vol_states(k: int, m_0, sigma) -> jax.Array:
@@ -109,16 +153,19 @@ def conditional_probs(returns, vols) -> jax.Array:
     return norm_pdf(returns[:, None], std=vols[None, :])
 
 
-def _transition_apply(k: int, b, gamma, dense: bool):
+def _transition_apply(k: int, b, gamma, dense: bool, safe_layout=False):
     if dense:
         P = transition_matrix(k, b, gamma)
         return lambda v: v @ P  # symmetric: P @ v == v @ P
     p = component_stay_probs(k, b, gamma)
-    return lambda v: kron_transition_matvec(p, v)
+    mv = kron_transition_matvec_safe if safe_layout else \
+        kron_transition_matvec
+    return lambda v: mv(p, v)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "dense"))
-def filter_states(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
+@functools.partial(jax.jit, static_argnames=("k", "dense", "safe_layout"))
+def filter_states(k: int, m_0, sigma, b, gamma, returns, *, dense=None,
+                  safe_layout=False):
     """Hamilton filter (`calc_state_prob_numba`, `calc_prob.py:7-32`).
 
     Returns (state_probs (N, 2^k), cond_probs (N, 2^k), log_norms (N,),
@@ -132,7 +179,7 @@ def filter_states(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
     nb_states = 2**k
     vols = vol_states(k, m_0, sigma)
     cond = conditional_probs(returns, vols)
-    apply_P = _transition_apply(k, b, gamma, dense)
+    apply_P = _transition_apply(k, b, gamma, dense, safe_layout)
 
     init = jnp.full((nb_states,), 1.0 / nb_states, dtype=cond.dtype)
 
@@ -151,13 +198,18 @@ def filter_states(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
     return states, cond, log_norms, valid
 
 
-@functools.partial(jax.jit, static_argnames=("k", "dense"))
-def log_likelihood(k: int, m_0, sigma, b, gamma, returns, *, dense=None):
+@functools.partial(jax.jit, static_argnames=("k", "dense", "safe_layout"))
+def log_likelihood(k: int, m_0, sigma, b, gamma, returns, *, dense=None,
+                   safe_layout=False):
     """MSM log-likelihood: sum_{i=1}^{N-1} log((P pi_{i-1}) . c_i)
     (`calc_likelihood_numba`, `calc_prob.py:35-47`); -inf on any
-    non-positive term or filter failure (`calc_prob.py:134-142`)."""
+    non-positive term or filter failure (`calc_prob.py:134-142`).
+    safe_layout routes the Kronecker apply through the strided
+    (differentiation-safe) form — required when this likelihood sits
+    under grad/jvp at large k."""
     _, _, log_norms, valid = filter_states(
-        k, m_0, sigma, b, gamma, returns, dense=dense
+        k, m_0, sigma, b, gamma, returns, dense=dense,
+        safe_layout=safe_layout,
     )
     ll = jnp.sum(log_norms[1:])
     return jnp.where(valid & jnp.isfinite(ll), ll, -jnp.inf)

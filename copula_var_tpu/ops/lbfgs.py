@@ -33,9 +33,11 @@ def _from_box(x, lo, hi, margin=1e-6):
     return jnp.arctanh(z)
 
 
-@functools.partial(jax.jit, static_argnames=("loss_fn", "max_iter"))
+@functools.partial(
+    jax.jit, static_argnames=("loss_fn", "max_iter", "fwd_grad")
+)
 def box_lbfgs_batch(loss_fn, lo, hi, x0, *args, batched_args=(),
-                    max_iter=200, tol=1e-8):
+                    max_iter=200, tol=1e-8, fwd_grad=False):
     """Minimize `loss_fn(x, *args, *row_args)` (x (d,) -> scalar) from
     each row of x0 (B, d) subject to lo < x < hi. Returns
     (x_star (B, d), f_star (B,)).
@@ -48,6 +50,13 @@ def box_lbfgs_batch(loss_fn, lo, hi, x0, *args, batched_args=(),
     or every call re-traces and re-compiles. Non-finite losses map to a
     PENALTY plateau (zero gradient; the linesearch backs off) and
     non-finite gradients are zeroed.
+
+    fwd_grad=True computes gradients in FORWARD mode (d JVPs for a
+    d-dim solve — the natural mode at d <= ~4). Reverse mode through a
+    long `lax.scan` stores per-step residuals; for the 2^k-state MSM
+    filter those residuals pad 21x under TPU tiling and OOM at k = 12
+    (`models/msm.kron_transition_matvec` memory note), while forward
+    tangents ride the primal with zero storage.
     """
     import optax
     import optax.tree_utils as otu
@@ -69,7 +78,11 @@ def box_lbfgs_batch(loss_fn, lo, hi, x0, *args, batched_args=(),
             return jnp.where(jnp.isfinite(v), v, PENALTY)
 
         opt = optax.lbfgs()
-        vg = optax.value_and_grad_from_state(wrapped)
+        if fwd_grad:
+            def vg(s, state=None):
+                return wrapped(s), jax.jacfwd(wrapped)(s)
+        else:
+            vg = optax.value_and_grad_from_state(wrapped)
 
         def step(carry):
             s, state, f_prev, stall = carry

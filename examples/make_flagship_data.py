@@ -95,11 +95,16 @@ def real_flagship_prices():
             "network access (this environment has neither); the pinned "
             "synthetic stand-in is the offline default"
         ) from e
-    px = yf.download(
-        ["^GSPC", "^IXIC"], start="2009-04-15", end="2015-10-13",
-        auto_adjust=False,
-    )["Adj Close"]
-    px = px[["^GSPC", "^IXIC"]].dropna()
+    try:
+        px = yf.download(
+            ["^GSPC", "^IXIC"], start="2009-04-15", end="2015-10-13",
+            auto_adjust=False,
+        )["Adj Close"]
+        px = px[["^GSPC", "^IXIC"]].dropna()
+    except Exception as e:
+        raise RuntimeError(
+            f"yfinance download failed (network required): {e}"
+        ) from e
     return (px.to_numpy(), px.index.strftime("%Y-%m-%d").tolist(),
             ("GSPC", "IXIC"))
 

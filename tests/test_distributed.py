@@ -148,6 +148,7 @@ def _free_port():
     return port
 
 
+@pytest.mark.slow
 def test_two_process_distributed_psum(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)

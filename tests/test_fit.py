@@ -98,6 +98,7 @@ def test_fit_plackett_runs(rng):
     assert np.isfinite(res.nll)
 
 
+@pytest.mark.slow
 def test_fit_student_recovers(rng):
     # t-copula samples: X = Z / sqrt(W/nu), U = t_cdf(X)
     nu = 6.0
@@ -116,6 +117,7 @@ def test_fit_student_recovers(rng):
     assert 2.01 <= res.nu <= 50.0
 
 
+@pytest.mark.slow
 def test_fit_student_nu_refines_in_global_bracket(rng):
     """Stage-2 nu refinement is bracketed by stage 1's GLOBAL grid scan
     (multimodality guard): heavy-tailed nu=3 data must pull the profile

@@ -98,6 +98,7 @@ def test_dim3_pallas_garch_matches_tcached(rng, copula):
     np.testing.assert_allclose(got, want, rtol=5e-5, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_dim3_pallas_engine_solve_matches_xla(rng):
     """engine='pallas' at dim 3 end-to-end: the fused kernel drives
     compute_integral AND the on-device bisection (msm + student, the

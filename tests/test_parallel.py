@@ -74,6 +74,7 @@ def test_sharded_garch_matches_single_device(rng):
     ["gaussian", pytest.param("student", marks=pytest.mark.slow),
      "plackett"],
 )
+@pytest.mark.slow
 def test_grid_sharded_psum_matches_dense(rng, copula):
     mesh = make_mesh(n_devices=8, axis_names=("grid",))
     T = 6

@@ -108,6 +108,7 @@ def test_ukf_frozen_a_quirk_golden(rng):
     )
 
 
+@pytest.mark.slow
 def test_garch_reference_trajectory_quirk_golden(rng):
     """fit_garch(reference_quirks=True) walks the reference
     GarchOptimizer's EXACT Newton trajectory (`garch/opti.py:139-181`) —

@@ -166,6 +166,7 @@ def test_sharded_pallas_engine_levels_uneven(rng):
     np.testing.assert_allclose(got, want, rtol=0, atol=bound)
 
 
+@pytest.mark.slow
 def test_sharded_engine_dim3_matches_xla(rng):
     """VERDICT r03 task #3: engine='sharded' at dim 3 — day-sharded
     transform columns rebuilt in bounded chunks per shard — equals the
