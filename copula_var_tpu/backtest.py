@@ -1915,6 +1915,24 @@ class VaRBacktest:
                 "cached/tcached kernel or the fused dim-2 pallas engine)"
             )
 
+    def calc_var_grid(self, weights_batch, obj_vars, **kw):
+        """VaR for the FULL OUTER PRODUCT of P portfolios x L confidence
+        levels in one fused dispatch -> (P, L, T).
+
+        Serving ergonomics over `calc_var_portfolios`: the (weights,
+        alpha) query rows are the flattened product grid, so a risk
+        desk's whole report (every book x every confidence rung) is one
+        launch against the shared day tensors. Row (p, l) equals
+        `calc_var(obj_vars[l])` of a backtest whose data carries
+        weights_batch[p]."""
+        weights_batch = np.atleast_2d(np.asarray(weights_batch, float))
+        obj_vars = np.atleast_1d(np.asarray(obj_vars, dtype=np.float64))
+        P, L = weights_batch.shape[0], obj_vars.shape[0]
+        w_rows = np.repeat(weights_batch, L, axis=0)  # (P*L, dim)
+        a_rows = np.tile(obj_vars, P)  # (P*L,)
+        flat = self.calc_var_portfolios(w_rows, obj_var=a_rows, **kw)
+        return flat.reshape(P, L, -1)
+
     def _solve_device_fused(self, obj_vars, first_guess, second_guess,
                             tolerance, min_var_value, max_var_value):
         """One-dispatch solve for any engine with a recognized stable

@@ -142,3 +142,39 @@ def test_config_obj_levels(garch_bt):
     # roundtrip keeps the ladder knob
     back = BacktestConfig.from_dict(cfg.to_dict())
     assert tuple(back.solver.obj_levels) == (0.025, 0.05)
+
+
+def test_calc_var_grid_outer_product(rng):
+    """calc_var_grid: the (P, L, T) outer product equals per-cell
+    calc_var of a per-weights backtest at each level (one dispatch)."""
+    from copula_var_tpu.backtest import GarchAdapter, VaRBacktest
+    from copula_var_tpu.copulas.fit import GaussianFit
+    from copula_var_tpu.data import returns as returns_mod
+    from copula_var_tpu.models.fit import GarchFit
+
+    n_in, T = 140, 20
+    rets = rng.standard_normal((n_in + T, 2))
+    fits = [
+        GarchFit(1, 1, 0.2, np.array([0.1]), np.array([0.7]), 0.0, 0.0,
+                 np.array([0.2, 0.1, 0.7]))
+        for _ in range(2)
+    ]
+
+    def bt(weights):
+        return VaRBacktest(
+            returns_mod.from_returns(rets, n_insample=n_in,
+                                     weights=weights),
+            GarchAdapter(p_max=1, q_max=1), "gaussian", num_points=24,
+            engine="xla", model_fits_override=fits,
+            copula_fit_override=GaussianFit(np.eye(2), 0.0, np.zeros(1)),
+        )
+
+    W = np.array([[0.5, 0.5], [0.3, 0.7]])
+    alphas = (0.01, 0.05)
+    grid = bt([0.5, 0.5]).calc_var_grid(W, alphas)
+    assert grid.shape == (2, 2, T)
+    for p in range(2):
+        solo = bt(list(W[p]))
+        for l, a in enumerate(alphas):
+            np.testing.assert_allclose(grid[p, l], solo.calc_var(a),
+                                       atol=1e-9)
