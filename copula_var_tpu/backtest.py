@@ -43,7 +43,10 @@ from copula_var_tpu.ops.quadrature import (
     garch_integrals,
     msm_integrals,
 )
-from copula_var_tpu.ops.solvers import bracket_state_batched
+from copula_var_tpu.ops.solvers import (
+    bracket_state_batched,
+    trap_bisect as _trap_bisect,
+)
 from copula_var_tpu.ops.special import norm_cdf, norm_pdf
 
 VOL_STATE_ROUND_TOL = 1e-6  # `msm_estimation.py:204-248`
@@ -194,26 +197,6 @@ def _call_trap_kernel(kernel_id, bounds, aux):
             params, day_batch,
         )
     raise ValueError(f"no trapezoid refinement twin for: {kernel_id!r}")
-
-
-def _trap_bisect(sweep_batched, roots, obj2, h2, iters=12):
-    """Re-solve in a +-h window around the staircase roots against the
-    second-order trap sweep (traced): F_trap is continuous and monotone
-    in the bound, so `iters` halvings pin the refined root to
-    2h / 2^iters — far below the trap rule's own O(cell^2) accuracy.
-    roots/obj2 (L, T)/(L, 1); h2 broadcastable to (L, T)."""
-    lo, hi = roots - h2, roots + h2
-    low_edge = jnp.full_like(roots, -100.0)
-
-    def body(_, c):
-        lo, hi = c
-        mid = (lo + hi) / 2.0
-        F = sweep_batched(jnp.stack([low_edge, mid], axis=-1))
-        below = F < obj2
-        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return (lo + hi) / 2.0
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_id",))
@@ -1839,6 +1822,9 @@ class VaRBacktest:
                 min_var_value, max_var_value, box_min=self.box[0],
                 reference_quirks=self.reference_quirks,
                 T=self.data.out_sample_n,
+                refine=bool(self.refine_root),
+                refine_h=self._plateau_h(weights_batch)
+                if self.refine_root else 0.0,
             )
             roots, nanm = np.asarray(roots), np.asarray(nanm)
         elif (self.engine == "sharded"
@@ -1867,11 +1853,20 @@ class VaRBacktest:
                 box_min=self.box[0],
                 reference_quirks=self.reference_quirks,
                 T=self.data.out_sample_n, portfolios=True,
+                refine=bool(self.refine_root),
+                refine_h=self._plateau_h(weights_batch)
+                if self.refine_root else 0.0,
             )
             roots, nanm = np.asarray(roots), np.asarray(nanm)
         elif (self.engine == "sharded_pallas" and self.data.dim == 3):
             from copula_var_tpu.parallel import quadrature as pq
 
+            if self.refine_root:
+                raise ValueError(
+                    "refine_root is not supported on "
+                    "engine='sharded_pallas'; use engine='sharded' or "
+                    "'xla'"
+                )
             self._cached_integral_fn()
             st3 = self._sharded_dim3
             roots, nanm = pq.sharded_dim3_pallas_full_solve_levels(
@@ -2034,12 +2029,14 @@ class VaRBacktest:
         in the same program. Returns (roots (L, T), nan_days (L, T))."""
         from copula_var_tpu.parallel import quadrature as pq
 
-        if self.refine_root:
+        if self.refine_root and self.engine != "sharded":
             raise ValueError(
-                "refine_root is not supported on the day-sharded engines "
-                "('sharded'/'sharded_pallas'); use engine='xla' or "
-                "'pallas'"
+                "refine_root is not supported on engine='sharded_pallas' "
+                "(the fused Mosaic kernel has no trap twin); use "
+                "engine='sharded' (f64) or 'pallas'"
             )
+        refine = bool(self.refine_root)
+        rh = float(self._plateau_h()) if refine else 0.0
 
         inputs = self.integration_inputs
         mesh = self._get_mesh()
@@ -2064,7 +2061,8 @@ class VaRBacktest:
                 mesh, stt["cols_s"], stt["fcombos_s"], stt["densities"],
                 inputs.x, inputs.dx, self.data.weights, obj_vars,
                 spec=self.copula_spec, family=stt["family"],
-                day_batch=stt["day_batch"], T=T, **common,
+                day_batch=stt["day_batch"], T=T, refine=refine,
+                refine_h=rh, **common,
             )
             return np.asarray(roots), np.asarray(nanm)
         # dim 2 cached tensors (both 'sharded' and 'sharded_pallas' dim-2
@@ -2075,7 +2073,7 @@ class VaRBacktest:
             getattr(self, "_cached_fcombos", None) if is_msm else None,
             inputs.densities if is_msm else None,
             inputs.x, inputs.dx, self.data.weights, obj_vars, T=T,
-            **common,
+            refine=refine, refine_h=rh, **common,
         )
         return np.asarray(roots), np.asarray(nanm)
 

@@ -90,6 +90,27 @@ def bracket_state_jnp(F1, obj, sweep, cfg, quirks):
     return lo, hi, res, prev_upper, ustack, jnp.isnan(res)
 
 
+def trap_bisect(sweep_batched, roots, obj2, h2, iters=12):
+    """Re-solve in a +-h window around the staircase roots against a
+    second-order trap sweep (traced): F_trap is continuous and monotone
+    in the bound, so `iters` halvings pin the refined root to
+    2h / 2^iters — far below the trap rule's own O(cell^2) accuracy.
+    roots/obj2 (L, T)/(L, 1); h2 broadcastable to (L, T). Used by the
+    refine_root paths of every supporting engine."""
+    lo, hi = roots - h2, roots + h2
+    low_edge = jnp.full_like(roots, -100.0)
+
+    def body(_, c):
+        lo, hi = c
+        mid = (lo + hi) / 2.0
+        F = sweep_batched(jnp.stack([low_edge, mid], axis=-1))
+        below = F < obj2
+        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return (lo + hi) / 2.0
+
+
 def bracket_state_batched(F1, obj, sweep_batched, cfg, quirks):
     """`bracket_state_jnp` for ALL L levels at once: F1 (L, T) stage-1
     CDFs (rows may differ when each level carries its own portfolio

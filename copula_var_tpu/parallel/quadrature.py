@@ -219,10 +219,12 @@ def _solve_levels_jit(state0, tensors, fcombos, densities, x, dx, weights,
     return (lower + upper) / 2.0
 
 
-@functools.partial(jax.jit, static_argnames=("is_msm", "quirks", "Tp"))
+@functools.partial(
+    jax.jit, static_argnames=("is_msm", "quirks", "Tp", "refine")
+)
 def _full_solve_levels_gspmd_jit(tensors, fcombos, densities, x, dx,
                                  weights, obj, cfg, tolerance, box_min,
-                                 is_msm, quirks, Tp):
+                                 is_msm, quirks, Tp, refine=False, h=0.0):
     """ONE GSPMD dispatch for the WHOLE multi-level solve on day-sharded
     cached tensors: stage-1 sweep + per-level branch-free bracketing
     (`ops/solvers.bracket_state_jnp`) + the SPMD while-loop bisection
@@ -264,13 +266,38 @@ def _full_solve_levels_gspmd_jit(tensors, fcombos, densities, x, dx,
         obj.astype(dt), jnp.asarray(tolerance, dt),
         jnp.asarray(box_min, dt), is_msm,
     )
+    if refine:
+        # second-order trap re-solve rides the same day-sharded tensors
+        # (the trap sweeps are pure jnp — GSPMD shards them like any
+        # bisection sweep; refine_root on engine='sharded')
+        from copula_var_tpu.ops.quadrature import (
+            garch_integrals_trap,
+            msm_integrals_trap,
+        )
+        from copula_var_tpu.ops.solvers import trap_bisect
+
+        if is_msm:
+            trap = lambda b: msm_integrals_trap(
+                b, tensors, fcombos, x, densities, weights, box_min
+            )
+        else:
+            trap = lambda b: garch_integrals_trap(
+                b, tensors, x, weights, box_min
+            )
+        roots = trap_bisect(
+            jax.vmap(trap), roots, obj[:, None].astype(roots.dtype),
+            jnp.asarray(h, roots.dtype),
+        )
     return roots, nan_days
 
 
-@functools.partial(jax.jit, static_argnames=("is_msm", "quirks", "Tp"))
+@functools.partial(
+    jax.jit, static_argnames=("is_msm", "quirks", "Tp", "refine")
+)
 def _full_solve_portfolios_gspmd_jit(tensors, fcombos, densities, x, dx,
                                      weights, obj, cfg, tolerance,
-                                     box_min, is_msm, quirks, Tp):
+                                     box_min, is_msm, quirks, Tp,
+                                     refine=False, h=0.0):
     """Portfolio-batch twin of `_full_solve_levels_gspmd_jit`: row l of
     the (L, dim) weights / (L,) obj batch masks with ITS OWN half-space
     weights against the shared day-sharded tensors. One GSPMD dispatch;
@@ -339,7 +366,29 @@ def _full_solve_portfolios_gspmd_jit(tensors, fcombos, densities, x, dx,
     state = (lower, upper, prev_res, prev_up, ustack,
              jnp.zeros((L,), dtype=bool))
     lo, up, *_ = jax.lax.while_loop(cond, body, state)
-    return (lo + up) / 2.0, nan_days
+    roots = (lo + up) / 2.0
+    if refine:
+        from copula_var_tpu.ops.quadrature import (
+            garch_integrals_trap,
+            msm_integrals_trap,
+        )
+        from copula_var_tpu.ops.solvers import trap_bisect
+
+        if is_msm:
+            trap_w = lambda b, w: msm_integrals_trap(
+                b, tensors, fcombos, x, densities, w, box_min
+            )
+        else:
+            trap_w = lambda b, w: garch_integrals_trap(
+                b, tensors, x, w, box_min
+            )
+        roots = trap_bisect(
+            lambda b: jax.vmap(trap_w)(b, weights), roots, obj2,
+            jnp.broadcast_to(
+                jnp.asarray(h, roots.dtype), (roots.shape[0],)
+            )[:, None],
+        )
+    return roots, nan_days
 
 
 def sharded_full_solve_portfolios(mesh: Mesh, day_tensors, fcombos,
@@ -347,7 +396,7 @@ def sharded_full_solve_portfolios(mesh: Mesh, day_tensors, fcombos,
                                   obj_vars, first_guess, second_guess,
                                   tolerance, min_var_value, max_var_value,
                                   box_min=-5.0, reference_quirks=False,
-                                  T=None):
+                                  T=None, refine=False, refine_h=0.0):
     """engine='sharded' (dim 2) portfolio batch in ONE GSPMD dispatch."""
     from copula_var_tpu.parallel.multiprocess import fetch, put_global
 
@@ -384,6 +433,8 @@ def sharded_full_solve_portfolios(mesh: Mesh, day_tensors, fcombos,
         tensors_s, fcombos_s, densities, jnp.asarray(x), jnp.asarray(dx),
         jnp.asarray(weights_batch), obj_vars, cfg, tolerance, box_min,
         is_msm, bool(reference_quirks), int(Tp),
+        refine=bool(refine),
+        h=jnp.asarray(refine_h) if refine else 0.0,
     )
     return fetch(roots)[:, :T], fetch(nan_days)[:, :T]
 
@@ -392,7 +443,8 @@ def sharded_full_solve_levels(mesh: Mesh, day_tensors, fcombos, densities,
                               x, dx, weights, obj_vars, first_guess,
                               second_guess, tolerance, min_var_value,
                               max_var_value, box_min=-5.0,
-                              reference_quirks=False, T=None):
+                              reference_quirks=False, T=None,
+                              refine=False, refine_h=0.0):
     """engine='sharded' (dim 2) in ONE dispatch: bracketing + bisection
     on the day-sharded cached tensors. `day_tensors`/`fcombos` may be the
     orchestrator's pre-placed padded globals. Returns host
@@ -438,6 +490,7 @@ def sharded_full_solve_levels(mesh: Mesh, day_tensors, fcombos, densities,
         tensors_s, fcombos_s, densities, jnp.asarray(x), jnp.asarray(dx),
         jnp.asarray(weights), obj_vars, cfg, tolerance, box_min,
         is_msm, bool(reference_quirks), int(Tp),
+        refine=bool(refine), h=float(refine_h),
     )
     roots, nan_days = fetch(roots), fetch(nan_days)
     return roots[:, :T], nan_days[:, :T]
@@ -913,6 +966,26 @@ def _tcached_integral_fn(family, kind, day_batch, box_min, cols, fcombos,
     )
 
 
+def _tcached_trap_fn(family, kind, day_batch, box_min, cols, fcombos,
+                     densities, x, weights, params):
+    """Second-order refinement twin of `_tcached_integral_fn`
+    (refine_root on the day-sharded dim >= 3 engine)."""
+    from copula_var_tpu.ops.quadrature import (
+        _garch_tcached_trap,
+        _msm_tcached_trap,
+    )
+
+    if family == "msm":
+        return lambda b: _msm_tcached_trap(
+            b, cols, fcombos, x, densities, weights, box_min, kind,
+            params, day_batch,
+        )
+    tcols, p_cols = cols
+    return lambda b: _garch_tcached_trap(
+        b, tcols, p_cols, x, weights, box_min, kind, params, day_batch,
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def _tcached_sweep_program(mesh, family, kind, day_batch, box_min):
     """One day-sharded transform-column quadrature sweep (the bracketing
@@ -1230,14 +1303,17 @@ def _spmd_full_solve_portfolios(integral_w, obj, weights, cfg, tol,
 
 @functools.lru_cache(maxsize=32)
 def _tcached_full_program(mesh, family, kind, day_batch, box_min, quirks,
-                          portfolios=False):
+                          portfolios=False, refine=False):
     """ONE-dispatch transform-column solve: shard_map of (stage sweeps +
     bracketing + bisection) over 'days'. With portfolios=True the
     replicated `weights` arg is a (L, dim) batch and row l masks with
-    its own weights (the transform columns are weight-independent)."""
+    its own weights (the transform columns are weight-independent).
+    refine=True appends the second-order trap re-solve (refine_root) —
+    per-shard, zero extra collectives."""
+    from copula_var_tpu.ops.solvers import trap_bisect
 
     def local(cols, fcombos, densities, x, dx, weights, params, obj, cfg,
-              tol):
+              tol, h):
         T_loc = jnp.asarray(fcombos).shape[0]
         if portfolios:
             def integral_w(b, w):
@@ -1246,19 +1322,43 @@ def _tcached_full_program(mesh, family, kind, day_batch, box_min, quirks,
                     densities, x, dx, w, params,
                 )(b)
 
-            return _spmd_full_solve_portfolios(
+            roots, nan_days = _spmd_full_solve_portfolios(
                 integral_w, obj, weights, cfg, tol, T_loc, quirks
             )
+            if refine:
+                def trap_w(b, w):
+                    return _tcached_trap_fn(
+                        family, kind, day_batch, box_min, cols, fcombos,
+                        densities, x, w, params,
+                    )(b)
+
+                roots = trap_bisect(
+                    lambda b: jax.vmap(trap_w)(b, weights), roots,
+                    obj[:, None].astype(roots.dtype),
+                    jnp.broadcast_to(
+                        jnp.asarray(h, roots.dtype), (roots.shape[0],)
+                    )[:, None],
+                )
+            return roots, nan_days
         integral = _tcached_integral_fn(family, kind, day_batch, box_min,
                                         cols, fcombos, densities, x, dx,
                                         weights, params)
-        return _spmd_full_solve_levels(integral, obj, cfg, tol, T_loc,
-                                       quirks)
+        roots, nan_days = _spmd_full_solve_levels(integral, obj, cfg, tol,
+                                                  T_loc, quirks)
+        if refine:
+            trap = _tcached_trap_fn(family, kind, day_batch, box_min,
+                                    cols, fcombos, densities, x, weights,
+                                    params)
+            roots = trap_bisect(
+                jax.vmap(trap), roots, obj[:, None].astype(roots.dtype),
+                jnp.asarray(h, roots.dtype),
+            )
+        return roots, nan_days
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P("days"), P("days"), P(), P(), P(), P(), P(), P(), P(),
-                  P()),
+                  P(), P()),
         out_specs=(P(None, "days"), P(None, "days")),
         check_vma=False,
     ))
@@ -1268,7 +1368,8 @@ def sharded_tcached_full_solve_levels(
     mesh, cols_s, fcombos_s, densities, x, dx, weights, obj_vars,
     first_guess, second_guess, tolerance, min_var_value, max_var_value,
     spec: CopulaSpec, family, day_batch, box_min=-5.0,
-    reference_quirks=False, T=None, portfolios=False,
+    reference_quirks=False, T=None, portfolios=False, refine=False,
+    refine_h=0.0,
 ):
     """engine='sharded' at dim >= 3 in ONE dispatch. cols_s/fcombos_s
     pre-placed via `_tcached_place`; T = unpadded day count.
@@ -1285,11 +1386,11 @@ def sharded_tcached_full_solve_levels(
     dens = jnp.zeros(()) if densities is None else jnp.asarray(densities)
     f = _tcached_full_program(mesh, family, spec.kind, int(day_batch),
                               float(box_min), bool(reference_quirks),
-                              bool(portfolios))
+                              bool(portfolios), bool(refine))
     roots, nan_days = f(
         cols_s, fcombos_s, dens, jnp.asarray(x), jnp.asarray(dx),
         jnp.asarray(weights), spec.params, obj_vars, cfg,
-        jnp.asarray(tolerance),
+        jnp.asarray(tolerance), jnp.asarray(refine_h),
     )
     return fetch(roots)[:, :T], fetch(nan_days)[:, :T]
 

@@ -107,6 +107,17 @@ def test_refine_levels_and_portfolios_consistent():
 
 
 def test_refine_unsupported_engines_raise():
-    bt = _setup("sharded", refine=True)
+    bt = _setup("sharded_pallas", refine=True)
+    # dim-2 sharded_pallas routes through the fused kernel, which has no
+    # refinement twin on the day-sharded tensors
     with pytest.raises(ValueError, match="refine_root"):
         bt.calc_var(0.05)
+
+
+def test_refine_sharded_portfolios_match_xla():
+    bt_x = _setup("xla", refine=True)
+    bt_s = _setup("sharded", refine=True)
+    wb = np.array([[0.5, 0.5], [0.3, 0.7]])
+    want = bt_x.calc_var_portfolios(wb, obj_var=0.05)
+    got = bt_s.calc_var_portfolios(wb, obj_var=0.05)
+    np.testing.assert_allclose(got, want, atol=1e-12)

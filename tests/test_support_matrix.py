@@ -52,12 +52,26 @@ def test_unsupported_engine_dim_raises(dim, engine, match):
         bt.calc_var()
 
 
-@pytest.mark.parametrize("engine", ["sharded", "sharded_pallas",
-                                    "grid_sharded"])
+@pytest.mark.parametrize("engine", ["sharded_pallas", "grid_sharded"])
 def test_refine_root_unsupported_engines_raise(engine):
     bt = _bt(2, engine, refine=True)
     with pytest.raises(ValueError, match="refine_root"):
         bt.calc_var()
+
+
+def test_refine_root_sharded_matches_xla():
+    """engine='sharded' + refine_root: the trap re-solve rides the
+    day-sharded tensors (GSPMD) — f64-exact vs the refined xla root."""
+    want = _bt(2, "xla", refine=True).calc_var()
+    got = _bt(2, "sharded", refine=True).calc_var()
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_refine_root_sharded_dim3_matches_xla():
+    """dim >= 3: the shard_map tcached trap twin refines per-shard."""
+    want = _bt(3, "xla", refine=True).calc_var()
+    got = _bt(3, "sharded", refine=True).calc_var()
+    np.testing.assert_allclose(got, want, atol=1e-12)
 
 
 def test_plackett_dim3_raises():
