@@ -1557,6 +1557,12 @@ class VaRBacktest:
         t0 = time.time()
         if (self.engine in ("pallas", "sharded_pallas")
                 and self.data.dim == 2):
+            if self.refine_root and self.engine == "sharded_pallas":
+                raise ValueError(
+                    "refine_root is not supported on "
+                    "engine='sharded_pallas'; use engine='sharded' or "
+                    "'pallas'"
+                )
             self._cached_integral_fn()  # builds self._cached_tensors
             obj_arr = np.asarray([obj_var], dtype=np.float64)
             roots, nan_days = self._solve_fused_full(
@@ -1654,6 +1660,12 @@ class VaRBacktest:
         t0 = time.time()
         if (self.engine in ("pallas", "sharded_pallas")
                 and self.data.dim == 2):
+            if self.refine_root and self.engine == "sharded_pallas":
+                raise ValueError(
+                    "refine_root is not supported on "
+                    "engine='sharded_pallas'; use engine='sharded' or "
+                    "'pallas'"
+                )
             # fully fused: all L levels' bracketing + bisection, 1 dispatch
             self._cached_integral_fn()  # builds self._cached_tensors
             roots, nd = self._solve_fused_full(
@@ -1763,8 +1775,17 @@ class VaRBacktest:
             (weights_batch.shape[0],),
         ).copy()
         t0 = time.time()
+        # set up-front: _refine_fused records 2 for the fused+refine
+        # path and must not be clobbered after the branch
+        self.last_solve_dispatches = 1
         if self.engine in ("pallas", "sharded_pallas") \
                 and self.data.dim == 2:
+            if self.refine_root and self.engine == "sharded_pallas":
+                raise ValueError(
+                    "refine_root is not supported on "
+                    "engine='sharded_pallas'; use engine='sharded' or "
+                    "'pallas'"
+                )
             self._cached_integral_fn()
             roots, nan_days = self._solve_fused_full(
                 obj_arr, first_guess, second_guess,
@@ -1884,7 +1905,6 @@ class VaRBacktest:
                 f"calc_var_portfolios: unsupported engine/dim "
                 f"combination ({self.engine!r}, dim={self.data.dim})"
             )
-        self.last_solve_dispatches = 1
         final = np.where(nanm, np.nan, roots)
         self.solve_seconds = time.time() - t0
         ptf_means = np.asarray(self.data.in_sample_mean) @ weights_batch.T

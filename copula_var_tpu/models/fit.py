@@ -671,7 +671,7 @@ def fit_msm_batch(
     if not reference_quirks and polish_max_iter > 0:
         from copula_var_tpu.ops.lbfgs import box_lbfgs_batch
 
-        top = 3
+        top = min(3, n_starts)
         order = np.argsort(cur_nll, axis=1)[:, :top]  # (A, top)
         x0_rows = np.stack(
             [cur[a, order[a]] for a in range(A)]

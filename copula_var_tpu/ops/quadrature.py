@@ -69,24 +69,11 @@ def halfspace_mask(x, lower, upper, weights, box_min=BOX_MIN):
     innermost (last) grid dimension and weights[1:] to the outer dims in
     order (`integration_algo.py:5-20`). Returns a bool array of shape
     (n,) * dim. The inner cut is `x > dyn_lower (clamped to box_min)` and
-    `x <= dyn_upper (unclamped)` (`create_grids.py:102-110`).
-    """
+    `x <= dyn_upper (unclamped)` (`create_grids.py:102-110`). Thin
+    adapter over the ragged-column mask (`halfspace_mask_cols`)."""
     weights = jnp.asarray(weights)
     dim = weights.shape[0]
-    n = x.shape[0]
-    if dim == 1:
-        prev = jnp.zeros(())
-    else:
-        # prev_sum over outer dims, broadcast to (n,)*(dim-1)
-        prev = jnp.zeros((1,) * (dim - 1))
-        for d in range(dim - 1):
-            shape = [1] * (dim - 1)
-            shape[d] = n
-            prev = prev + x.reshape(shape) * weights[1 + d]
-    dyn_upper = (upper - prev) / weights[0]
-    dyn_lower = jnp.maximum((lower - prev) / weights[0], box_min)
-    xs = x.reshape((1,) * (dim - 1) + (n,))
-    return (xs > dyn_lower[..., None]) & (xs <= dyn_upper[..., None])
+    return halfspace_mask_cols([x] * dim, lower, upper, weights, box_min)
 
 
 def _all_pairs_quad(z_cols, sigma_inv):
@@ -176,60 +163,13 @@ def transform_u_columns(u_cols, spec: CopulaSpec):
 def copula_density_from_transformed(cols, spec: CopulaSpec):
     """Copula density over the full tensor-product grid from pre-transformed
     per-dimension columns (output of `transform_u_columns`). Returns shape
-    (n,) * dim. Numerically identical to `grid_copula_density`."""
-    dim, n = cols[0].shape
-
-    if spec.kind == "plackett":
-        (theta,) = spec.params
-        if dim != 2:
-            raise ValueError("Plackett copula requires dim == 2")
-        (u_cols,) = cols
-        a = u_cols[0][:, None]
-        b = u_cols[1][None, :]
-        tm1 = theta - 1.0
-        num = theta * (1.0 + tm1 * (a + b - 2.0 * a * b))
-        den = ((1.0 + tm1 * (a + b)) * (1.0 + tm1 * (1.0 - a - b))) ** 2
-        return num / den
-
-    if spec.kind == "gaussian":
-        (corr,) = spec.params
-        (z,) = cols
-        z_cols = [z[d] for d in range(dim)]
-        sigma_inv, logdet = _chol_inv_logdet(corr)
-        quad = _all_pairs_quad(z_cols, sigma_inv)
-        sum_z2 = jnp.zeros((1,) * dim)
-        for d in range(dim):
-            shape = [1] * dim
-            shape[d] = n
-            sum_z2 = sum_z2 + (z_cols[d] ** 2).reshape(shape)
-        return jnp.exp(-0.5 * (logdet + quad - sum_z2))
-
-    if spec.kind == "student":
-        nu, corr = spec.params
-        nu = jnp.asarray(nu, dtype=cols[0].dtype)
-        z, fin, log_uni = cols
-        z_cols = [z[d] for d in range(dim)]
-        sigma_inv, logdet = _chol_inv_logdet(corr)
-        quad = _all_pairs_quad(z_cols, sigma_inv)
-        log_mvt = (
-            gammaln((nu + dim) / 2.0)
-            - gammaln(nu / 2.0)
-            - (dim / 2.0) * jnp.log(nu * jnp.pi)
-            - 0.5 * logdet
-            - ((nu + dim) / 2.0) * jnp.log1p(quad / nu)
-        )
-        log_uni_sum = jnp.zeros((1,) * dim)
-        finite = jnp.ones((1,) * dim, dtype=bool)
-        for d in range(dim):
-            shape = [1] * dim
-            shape[d] = n
-            log_uni_sum = log_uni_sum + log_uni[d].reshape(shape)
-            finite = finite & fin[d].reshape(shape)
-        ratio = jnp.exp(log_mvt - log_uni_sum)
-        # reference 0/0 -> NaN on saturated marginals (`student.py:128-131`)
-        return jnp.where(finite, ratio, jnp.nan)
-
-    raise ValueError(f"unknown copula kind: {spec.kind}")
+    (n,) * dim. Numerically identical to `grid_copula_density`. Thin
+    adapter over the ragged-column builder (`copula_density_cols`) — one
+    copy of the density formulas serves the sharded and unsharded
+    engines alike."""
+    dim = cols[0].shape[0]
+    col_list = [tuple(leaf[d] for leaf in cols) for d in range(dim)]
+    return copula_density_cols(col_list, spec)
 
 
 def copula_density_cols(col_list, spec: CopulaSpec):
@@ -782,7 +722,12 @@ def msm_integrals_trap(bounds, C, forecast_combos, x, densities, weights,
 
     def one_day(b, c, fc):
         A = halfspace_frac(x, tw, b[0], b[1], weights, box_min)
-        per_combo = (w_cols[0] @ (c * A) @ w_cols[1].T).reshape(-1)
+        # NaN cells OUTSIDE the slab must contribute 0 exactly like the
+        # staircase's where-mask (C * A alone poisons the day with NaN
+        # from excluded saturated-marginal cells); NaN INSIDE the slab
+        # still surfaces, matching the staircase kernels
+        V = jnp.where(A > 0.0, c, 0.0) * A
+        per_combo = (w_cols[0] @ V @ w_cols[1].T).reshape(-1)
         return jnp.sum(per_combo * fc)
 
     return jax.vmap(one_day)(bounds, C, forecast_combos)
@@ -796,7 +741,10 @@ def garch_integrals_trap(bounds, V, x, weights, box_min=BOX_MIN):
 
     def one_day(b, v):
         A = halfspace_frac(x, tw, b[0], b[1], weights, box_min)
-        return tw @ (v * A) @ tw
+        # where-mask before scaling (see msm_integrals_trap): the
+        # production garch tensors are nan_to_num'd at build, but the
+        # trap twin must not be the one path that poisons on raw NaN
+        return tw @ (jnp.where(A > 0.0, v, 0.0) * A) @ tw
 
     return jax.vmap(one_day)(bounds, V)
 
@@ -812,7 +760,9 @@ def _msm_tcached_trap(bounds, cols, fcombos, x, densities, weights, box_min,
         b, c, fc = args
         C = copula_density_from_transformed(c, spec)
         A = halfspace_frac(x, tw, b[0], b[1], weights, box_min)
-        per_combo = _contract_states(C * A, w_cols).reshape(-1)
+        # where-mask before scaling: see msm_integrals_trap
+        V = jnp.where(A > 0.0, C, 0.0) * A
+        per_combo = _contract_states(V, w_cols).reshape(-1)
         return jnp.sum(per_combo * fc)
 
     return jax.lax.map(
@@ -836,7 +786,7 @@ def _garch_tcached_trap(bounds, cols, p_cols, x, weights, box_min, kind,
             shape = [1] * dim
             shape[d] = n
             pdf_prod = pdf_prod * p[d].reshape(shape)
-        V = jnp.nan_to_num(C * pdf_prod)
+        V = jnp.nan_to_num(C * pdf_prod)  # garch family nan_to_num parity
         A = halfspace_frac(x, tw, b[0], b[1], weights, box_min)
         w_cols = [tw[None, :]] * dim
         return _contract_states(V * A, w_cols).reshape(())

@@ -96,19 +96,29 @@ def trap_bisect(sweep_batched, roots, obj2, h2, iters=12):
     in the bound, so `iters` halvings pin the refined root to
     2h / 2^iters — far below the trap rule's own O(cell^2) accuracy.
     roots/obj2 (L, T)/(L, 1); h2 broadcastable to (L, T). Used by the
-    refine_root paths of every supporting engine."""
+    refine_root paths of every supporting engine.
+
+    A cell whose trap sweep ever turns non-finite (NaN partially inside
+    the refinement window — e.g. a saturated student marginal half-
+    included by the fractional boundary) keeps its STAIRCASE root: a
+    silent one-sided march to roots - h would be worse than no
+    refinement."""
     lo, hi = roots - h2, roots + h2
     low_edge = jnp.full_like(roots, -100.0)
 
     def body(_, c):
-        lo, hi = c
+        lo, hi, bad = c
         mid = (lo + hi) / 2.0
         F = sweep_batched(jnp.stack([low_edge, mid], axis=-1))
+        bad = bad | ~jnp.isfinite(F)
         below = F < obj2
-        return jnp.where(below, mid, lo), jnp.where(below, hi, mid)
+        return (jnp.where(below, mid, lo), jnp.where(below, hi, mid),
+                bad)
 
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return (lo + hi) / 2.0
+    lo, hi, bad = jax.lax.fori_loop(
+        0, iters, body, (lo, hi, jnp.zeros(roots.shape, dtype=bool))
+    )
+    return jnp.where(bad, roots, (lo + hi) / 2.0)
 
 
 def bracket_state_batched(F1, obj, sweep_batched, cfg, quirks):

@@ -121,3 +121,67 @@ def test_refine_sharded_portfolios_match_xla():
     want = bt_x.calc_var_portfolios(wb, obj_var=0.05)
     got = bt_s.calc_var_portfolios(wb, obj_var=0.05)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_trap_sweep_ignores_nan_outside_slab():
+    """A NaN cell OUTSIDE the integration slab (e.g. a saturated student
+    marginal above the VaR bound) must contribute 0 exactly like the
+    staircase where-mask — C * A alone poisoned the whole day (review
+    finding r05)."""
+    from copula_var_tpu.ops.grids import garch_grid
+    from copula_var_tpu.ops.quadrature import (
+        garch_integrals_cached, garch_integrals_trap,
+    )
+
+    n = 24
+    x, dx = garch_grid(n)
+    V = np.exp(-0.5 * (x[:, None] ** 2 + x[None, :] ** 2)) / (2 * np.pi)
+    V = np.tile(V[None], (3, 1, 1))
+    V[:, :, -2:] = np.nan  # inner-dim top nodes (3.75, 5.0): above any cut
+    w = np.array([0.5, 0.5])
+    b = np.tile([-100.0, -1.2], (3, 1))
+    stair = np.asarray(garch_integrals_cached(
+        jnp.asarray(b), jnp.asarray(V), jnp.asarray(x), jnp.asarray(dx),
+        jnp.asarray(w)))
+    trap = np.asarray(garch_integrals_trap(
+        jnp.asarray(b), jnp.asarray(V), jnp.asarray(x), jnp.asarray(w)))
+    assert np.all(np.isfinite(stair))
+    assert np.all(np.isfinite(trap)), trap
+    np.testing.assert_allclose(trap, stair, rtol=0.2)  # same integral family
+
+
+def test_trap_bisect_nan_keeps_staircase_root():
+    """If the trap sweep goes non-finite inside the window, the cell
+    keeps its staircase root instead of silently marching to root - h."""
+    from copula_var_tpu.ops.solvers import trap_bisect
+
+    roots = jnp.asarray([[-1.0, -2.0]])
+
+    def sweep(b):  # second cell always NaN
+        mid = b[..., 1]
+        return jnp.stack(
+            [0.5 * (mid[..., 0] + 2.0), jnp.nan * mid[..., 1]], axis=-1
+        )[None][0][None][0][None]  # keep (1, 2)
+
+    def sweep2(b):
+        mid = b[..., 1]
+        F0 = 0.5 * (mid[..., 0] + 2.0)
+        return jnp.stack([F0, jnp.full_like(F0, jnp.nan)], axis=-1)
+
+    out = np.asarray(trap_bisect(sweep2, roots,
+                                 jnp.asarray([[0.4]]), 0.5))
+    assert abs(out[0, 1] - (-2.0)) < 1e-12  # NaN cell: staircase kept
+    assert abs(out[0, 0] - (-1.2)) < 1e-3  # finite cell refined normally
+
+
+def test_msm_short_b_values_polish():
+    """fit_msm with fewer than 3 basin starts must not crash the polish
+    (review finding r05: hardcoded top=3 reshape)."""
+    from copula_var_tpu.models import fit as mfit
+
+    rng = np.random.default_rng(0)
+    r = rng.standard_normal(200)
+    fit = mfit.fit_msm(r, 2, basin_iter=0, b_values=[5.0, 10.0])
+    assert np.isfinite(fit.log_likelihood)
+    fit1 = mfit.fit_msm(r, 2, basin_iter=0, b_values=[5.0])
+    assert np.isfinite(fit1.log_likelihood)
