@@ -156,7 +156,8 @@ def _call_integral_kernel(kernel_id, bounds, aux):
 # Kernels with a trapezoid/fractional-cell refinement twin
 # (`ops/quadrature` trap sweeps; refine_root support)
 _TRAP_KERNELS = frozenset(
-    {"msm_cached", "garch_cached", "msm_tcached", "garch_tcached"}
+    {"msm_cached", "garch_cached", "msm_tcached", "garch_tcached",
+     "grid_msm", "grid_garch", "grid_tcached"}
 )
 
 
@@ -195,6 +196,44 @@ def _call_trap_kernel(kernel_id, bounds, aux):
         return _garch_tcached_trap(
             bounds, cols, p_cols, x, weights, box_min, copula_kind,
             params, day_batch,
+        )
+    if kind == "grid_msm":
+        from copula_var_tpu.ops.quadrature import CopulaSpec
+        from copula_var_tpu.parallel.quadrature import (
+            grid_sharded_msm_trap_sweep,
+        )
+
+        _, mesh, copula_kind, day_axis, box_min = kernel_id
+        t0, t1, w0, w1, fcombos, x, weights, params = aux
+        return grid_sharded_msm_trap_sweep(
+            mesh, bounds, t0, t1, w0, w1, fcombos, x, weights,
+            CopulaSpec(copula_kind, params), day_axis=day_axis,
+            box_min=box_min,
+        )
+    if kind == "grid_garch":
+        from copula_var_tpu.ops.quadrature import CopulaSpec
+        from copula_var_tpu.parallel.quadrature import (
+            grid_sharded_garch_trap_sweep,
+        )
+
+        _, mesh, copula_kind, box_min = kernel_id
+        t0, p0, t1, p1, x, dx, weights, params = aux
+        return grid_sharded_garch_trap_sweep(
+            mesh, bounds, t0, p0, t1, p1, x, weights,
+            CopulaSpec(copula_kind, params), box_min=box_min,
+        )
+    if kind == "grid_tcached":
+        from copula_var_tpu.parallel.quadrature import (
+            grid_sharded_tcached_trap_sweep,
+        )
+
+        _, mesh, family, copula_kind, day_batch, box_min = kernel_id
+        (cols0, cols_rest, p0, p_rest, fcombos, x, dx, densities, weights,
+         params) = aux
+        return grid_sharded_tcached_trap_sweep(
+            mesh, bounds, cols0, cols_rest, p0, p_rest, fcombos, x,
+            densities, weights, copula_kind, params, family, day_batch,
+            box_min=box_min,
         )
     raise ValueError(f"no trapezoid refinement twin for: {kernel_id!r}")
 

@@ -792,6 +792,208 @@ def _transform_columns(u, spec: CopulaSpec):
     return transform_u_columns(u, spec)
 
 
+def _inner_frac(dyn_up, dyn_lo, x, tw):
+    """Fractional inclusion of the inner dimension's owned cells
+    [x_k - tw_k/2, x_k + tw_k/2] in (dyn_lo, dyn_up] — the chunked
+    in-line form of `ops/quadrature.halfspace_frac`'s inner cut."""
+    cell_lo = (x - tw / 2.0)[None, :]
+    tws = tw[None, :]
+    a_up = jnp.clip((dyn_up[:, None] - cell_lo) / tws, 0.0, 1.0)
+    a_lo = jnp.clip((dyn_lo[:, None] - cell_lo) / tws, 0.0, 1.0)
+    return jnp.maximum(a_up - a_lo, 0.0)
+
+
+def _trap_scale(x):
+    """tw / dx: converts dx-scaled contraction rows (the staircase
+    sweeps' precomputed w0/w1) to trapezoid-weighted rows without
+    re-deriving the densities."""
+    from copula_var_tpu.ops.quadrature import trap_weights
+
+    x = jnp.asarray(x)
+    dx = jnp.diff(x, prepend=x[:1])
+    dx = dx.at[0].set(dx[1])
+    return trap_weights(x), trap_weights(x) / dx
+
+
+def grid_sharded_msm_trap_sweep(mesh, bounds, t0, t1, w0, w1, fcombos, x,
+                                weights, spec: CopulaSpec,
+                                grid_axis="grid", day_axis=None,
+                                box_min=-5.0):
+    """Second-order (trapezoid + fractional inner cell) twin of
+    `grid_sharded_msm_sweep` (refine_root on engine='grid_sharded',
+    dim 2). Same sharding layout; the dx-scaled state rows rescale to
+    trapezoid weights via tw/dx. Traceable."""
+    bounds = jnp.asarray(bounds)
+    x = jnp.asarray(x)
+    weights = jnp.asarray(weights)
+    tw, scale = _trap_scale(x)
+    w0t = w0 * scale[None, :]
+    w1t = w1 * scale[None, :]
+    dspec = day_axis if day_axis is not None else None
+
+    def shard_fn(b, t0_chunk, t1_full, x0_chunk, w0_chunk, fc):
+        def partial_day(bi, c0, c1, fci):
+            C = _chunk_copula_from_transformed(c0, c1, spec)
+            dyn_up = (bi[1] - x0_chunk * weights[1]) / weights[0]
+            dyn_lo = jnp.maximum(
+                (bi[0] - x0_chunk * weights[1]) / weights[0], box_min
+            )
+            A = _inner_frac(dyn_up, dyn_lo, x, tw)
+            V = jnp.where(A > 0.0, C, 0.0) * A
+            S_part = w0_chunk @ V @ w1t.T
+            S = jax.lax.psum(S_part, grid_axis)
+            return jnp.sum(S.reshape(-1) * fci)
+
+        return jax.vmap(partial_day)(b, t0_chunk, t1_full, fc)
+
+    f = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(dspec), P(dspec, grid_axis), P(dspec), P(grid_axis),
+            P(None, grid_axis), P(dspec),
+        ),
+        out_specs=P(dspec),
+        check_vma=False,
+    )
+    return f(bounds, t0, t1, x, w0t, jnp.asarray(fcombos))
+
+
+def grid_sharded_garch_trap_sweep(mesh, bounds, t0, p0, t1, p1, x,
+                                  weights, spec: CopulaSpec,
+                                  grid_axis="grid", box_min=-5.0):
+    """Trap twin of `grid_sharded_garch_sweep` (refine_root,
+    engine='grid_sharded', dim 2)."""
+    bounds = jnp.asarray(bounds)
+    x = jnp.asarray(x)
+    weights = jnp.asarray(weights)
+    tw, _ = _trap_scale(x)
+
+    def shard_fn(b, t0_chunk, p0_chunk, t1_full, p1_full, x0_chunk,
+                 tw0_chunk):
+        def partial_day(bi, c0, pc0, c1, pc1):
+            C = _chunk_copula_from_transformed(c0, c1, spec)
+            V = jnp.nan_to_num(C * (pc0[:, None] * pc1[None, :]))
+            dyn_up = (bi[1] - x0_chunk * weights[1]) / weights[0]
+            dyn_lo = jnp.maximum(
+                (bi[0] - x0_chunk * weights[1]) / weights[0], box_min
+            )
+            A = _inner_frac(dyn_up, dyn_lo, x, tw)
+            V = jnp.where(A > 0.0, V, 0.0) * A
+            return jnp.einsum("i,ij,j->", tw0_chunk, V, tw)
+
+        part = jax.vmap(partial_day)(b, t0_chunk, p0_chunk, t1_full,
+                                     p1_full)
+        return jax.lax.psum(part, grid_axis)
+
+    f = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(None, grid_axis), P(None, grid_axis), P(), P(),
+            P(grid_axis), P(grid_axis),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return f(bounds, t0, p0, t1, p1, x, tw)
+
+
+def grid_sharded_tcached_trap_sweep(mesh, bounds, cols0, cols_rest, p0,
+                                    p_rest, fcombos, x, densities, weights,
+                                    kind, params, family, day_batch,
+                                    box_min=-5.0, grid_axis="grid"):
+    """Trap twin of `grid_sharded_tcached_sweep` (refine_root,
+    engine='grid_sharded', dim >= 3): trapezoid contraction weights +
+    fractional inner cell on the chunked ragged-column rebuild."""
+    from copula_var_tpu.ops.quadrature import (
+        CopulaSpec as _Spec,
+        _contract_states,
+        copula_density_cols,
+        trap_weights,
+    )
+
+    spec = _Spec(kind, params)
+    is_msm = family == "msm"
+    dim = int(jnp.asarray(weights).shape[0])
+    x = jnp.asarray(x)
+    tw = trap_weights(x)
+    weights = jnp.asarray(weights)
+    if is_msm:
+        w0_full = densities[(0 - 1) % dim] * tw[None, :]
+        w_rest = [densities[(d - 1) % dim] * tw[None, :]
+                  for d in range(1, dim)]
+    else:
+        w0_full = tw[None, :]
+        w_rest = None
+
+    def shard_fn(b, c0, cr, p0c, prc, fc, x0_chunk, w0_chunk, tw0_chunk):
+        def one_day(args):
+            b_i, c0_i, cr_i, p0_i, pr_i, fc_i = args
+            col_list = [c0_i] + [
+                tuple(l[d - 1] for l in cr_i) for d in range(1, dim)
+            ]
+            C = copula_density_cols(col_list, spec)
+            # outer prev over dims 0..dim-2 (dim 0 chunked)
+            lens = [x0_chunk.shape[0]] + [x.shape[0]] * (dim - 1)
+            prev = jnp.zeros((1,) * (dim - 1))
+            outer_cols = [x0_chunk] + [x] * (dim - 2)
+            for d in range(dim - 1):
+                shape = [1] * (dim - 1)
+                shape[d] = lens[d]
+                prev = prev + outer_cols[d].reshape(shape) * weights[1 + d]
+            dyn_up = (b_i[1] - prev) / weights[0]
+            dyn_lo = jnp.maximum((b_i[0] - prev) / weights[0], box_min)
+            cell_lo = (x - tw / 2.0).reshape((1,) * (dim - 1) + (-1,))
+            tws = tw.reshape((1,) * (dim - 1) + (-1,))
+            a_up = jnp.clip(
+                (dyn_up[..., None] - cell_lo) / tws, 0.0, 1.0
+            )
+            a_lo = jnp.clip(
+                (dyn_lo[..., None] - cell_lo) / tws, 0.0, 1.0
+            )
+            A = jnp.maximum(a_up - a_lo, 0.0)
+            if is_msm:
+                V = jnp.where(A > 0.0, C, 0.0) * A
+                w_cols = [w0_chunk] + w_rest
+                S = _contract_states(V, w_cols).reshape(-1)
+                return jnp.sum(S * fc_i)
+            pdf = jnp.ones((1,) * dim)
+            cols_p = [p0_i] + [pr_i[d - 1] for d in range(1, dim)]
+            for d in range(dim):
+                shape = [1] * dim
+                shape[d] = lens[d]
+                pdf = pdf * cols_p[d].reshape(shape)
+            V = jnp.nan_to_num(C * pdf)
+            V = jnp.where(A > 0.0, V, 0.0) * A
+            w_cols = [tw0_chunk[None, :]] + [tw[None, :]] * (dim - 1)
+            return _contract_states(V, w_cols).reshape(())
+
+        part = jax.lax.map(
+            one_day, (b, c0, cr, p0c, prc, fc), batch_size=day_batch
+        )
+        return jax.lax.psum(part, grid_axis)
+
+    T = jnp.asarray(bounds).shape[0]
+    if fcombos is None:
+        fcombos = jnp.zeros((T, 0))
+    if p0 is None:
+        p0 = jnp.zeros((T, 0))
+        p_rest = jnp.zeros((T, 0, 0))
+    f = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(), P(None, grid_axis), P(), P(None, grid_axis), P(), P(),
+            P(grid_axis), P(None, grid_axis), P(grid_axis),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return f(jnp.asarray(bounds), cols0, cols_rest, jnp.asarray(p0),
+             jnp.asarray(p_rest), jnp.asarray(fcombos), x, w0_full, tw)
+
+
 def grid_sharded_tcached_sweep(mesh, bounds, cols0, cols_rest, p0, p_rest,
                                fcombos, x, dx, densities, weights, kind,
                                params, family, day_batch, box_min=-5.0,

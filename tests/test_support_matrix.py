@@ -52,11 +52,22 @@ def test_unsupported_engine_dim_raises(dim, engine, match):
         bt.calc_var()
 
 
-@pytest.mark.parametrize("engine", ["sharded_pallas", "grid_sharded"])
-def test_refine_root_unsupported_engines_raise(engine):
-    bt = _bt(2, engine, refine=True)
+def test_refine_root_unsupported_engines_raise():
+    bt = _bt(2, "sharded_pallas", refine=True)
     with pytest.raises(ValueError, match="refine_root"):
         bt.calc_var()
+
+
+def test_refine_root_grid_sharded_matches_xla():
+    """engine='grid_sharded' + refine_root: the trap sweep shards the
+    grid axis with psum partials — f64-exact vs the refined xla root
+    (dim 2 and the dim-3 chunked tcached rebuild)."""
+    want2 = _bt(2, "xla", refine=True).calc_var()
+    got2 = _bt(2, "grid_sharded", refine=True).calc_var()
+    np.testing.assert_allclose(got2, want2, atol=1e-12)
+    want3 = _bt(3, "xla", refine=True).calc_var()
+    got3 = _bt(3, "grid_sharded", refine=True).calc_var()
+    np.testing.assert_allclose(got3, want3, atol=1e-12)
 
 
 def test_refine_root_sharded_matches_xla():
@@ -105,3 +116,33 @@ def test_dim4_xla_and_sharded_supported():
     supported column): smoke at tiny n."""
     v = _bt(4, "xla").calc_var()
     assert np.all(np.isfinite(v)) and np.all(v < 0)
+
+
+def test_refine_root_grid_sharded_msm_student():
+    """The msm-family grid trap sweep (state-row rescaling dx -> tw,
+    student transforms) matches the refined xla root exactly."""
+    from copula_var_tpu.backtest import MsmAdapter
+    from copula_var_tpu.copulas.fit import StudentFit
+    from copula_var_tpu.models.fit import MsmFit
+
+    rng = np.random.default_rng(5)
+    rets = rng.standard_normal((140, 2))
+    data = returns_mod.from_returns(rets, n_insample=120)
+    fits = [
+        MsmFit(m_0=0.5, b=3.0, gamma=0.5, sigma=1.0, log_likelihood=0.0),
+        MsmFit(m_0=0.6, b=5.0, gamma=0.4, sigma=1.1, log_likelihood=0.0),
+    ]
+    corr = np.array([[1.0, 0.4], [0.4, 1.0]])
+
+    def bt(engine):
+        return VaRBacktest(
+            data, MsmAdapter(k=2), "student", num_points=16,
+            engine=engine, model_fits_override=fits,
+            copula_fit_override=StudentFit(6.0, corr, 0.0,
+                                           np.array([6.0, 0.4])),
+            refine_root=True,
+        )
+
+    want = bt("xla").calc_var()
+    got = bt("grid_sharded").calc_var()
+    np.testing.assert_allclose(got, want, atol=1e-12)
