@@ -1010,9 +1010,12 @@ class VaRBacktest:
     # discretization bias of the reference's right-rectangle rule by
     # ~10x vs the continuous quantile (tests/test_refine_root.py).
     # Off by default: the unrefined root IS the reference's answer
-    # (parity). Supported on the xla cached/tcached kernels (any dim)
-    # and the fused dim-2 pallas engine (one extra refinement dispatch);
-    # the day-sharded and grid-sharded engines raise.
+    # (parity). Supported in-program on every f64 engine (xla cached/
+    # tcached at any dim, the day-sharded GSPMD/shard_map engines, the
+    # grid-sharded engines) and post-hoc on the fused dim-2 engines
+    # (pallas: one extra xla dispatch; sharded_pallas: one extra GSPMD
+    # dispatch over the sharded tensors); only the dim-3 sharded_pallas
+    # column engine raises.
     refine_root: bool = False
     # Re-enable the reference's stage-2 bracket-anchor defect
     # (`calc_var_class.py:132`): the add group's tracked-CDF anchor is set
@@ -1596,12 +1599,6 @@ class VaRBacktest:
         t0 = time.time()
         if (self.engine in ("pallas", "sharded_pallas")
                 and self.data.dim == 2):
-            if self.refine_root and self.engine == "sharded_pallas":
-                raise ValueError(
-                    "refine_root is not supported on "
-                    "engine='sharded_pallas'; use engine='sharded' or "
-                    "'pallas'"
-                )
             self._cached_integral_fn()  # builds self._cached_tensors
             obj_arr = np.asarray([obj_var], dtype=np.float64)
             roots, nan_days = self._solve_fused_full(
@@ -1699,12 +1696,6 @@ class VaRBacktest:
         t0 = time.time()
         if (self.engine in ("pallas", "sharded_pallas")
                 and self.data.dim == 2):
-            if self.refine_root and self.engine == "sharded_pallas":
-                raise ValueError(
-                    "refine_root is not supported on "
-                    "engine='sharded_pallas'; use engine='sharded' or "
-                    "'pallas'"
-                )
             # fully fused: all L levels' bracketing + bisection, 1 dispatch
             self._cached_integral_fn()  # builds self._cached_tensors
             roots, nd = self._solve_fused_full(
@@ -1819,12 +1810,6 @@ class VaRBacktest:
         self.last_solve_dispatches = 1
         if self.engine in ("pallas", "sharded_pallas") \
                 and self.data.dim == 2:
-            if self.refine_root and self.engine == "sharded_pallas":
-                raise ValueError(
-                    "refine_root is not supported on "
-                    "engine='sharded_pallas'; use engine='sharded' or "
-                    "'pallas'"
-                )
             self._cached_integral_fn()
             roots, nan_days = self._solve_fused_full(
                 obj_arr, first_guess, second_guess,
@@ -1965,8 +1950,9 @@ class VaRBacktest:
         if kern is None or kern[0][0] not in _TRAP_KERNELS:
             raise ValueError(
                 f"refine_root is not supported on engine="
-                f"{self.engine!r} at dim={self.data.dim} (needs an xla "
-                "cached/tcached kernel or the fused dim-2 pallas engine)"
+                f"{self.engine!r} at dim={self.data.dim} (needs a "
+                "recognized stable integral kernel with a trapezoid "
+                "twin; custom plugin adapters without one cannot refine)"
             )
 
     def calc_var_grid(self, weights_batch, obj_vars, **kw):
@@ -2015,10 +2001,44 @@ class VaRBacktest:
         kernel itself returns staircase roots)."""
         kern = getattr(self, "_refine_kernel", None)
         if kern is None:
+            if (self.engine == "sharded_pallas" and self.data.dim == 2
+                    and getattr(self, "_cached_tensors", None) is not None):
+                # day-sharded fused engine: refine in a SECOND GSPMD
+                # dispatch over the already-placed sharded tensors
+                from copula_var_tpu.parallel import quadrature as pq
+
+                inputs = self.integration_inputs
+                is_msm = isinstance(inputs, MsmIntegrationInputs)
+                tensors = self._cached_tensors
+                Tp, T = int(tensors.shape[0]), self.data.out_sample_n
+                roots_p = (
+                    np.concatenate(
+                        [roots, np.repeat(roots[:, -1:], Tp - T, axis=1)],
+                        axis=1,
+                    )
+                    if Tp > T else np.asarray(roots)
+                )
+                out = pq.trap_refine_gspmd_jit(
+                    tensors,
+                    self._cached_fcombos if is_msm else jnp.zeros(()),
+                    jnp.asarray(inputs.densities) if is_msm
+                    else jnp.zeros(()),
+                    jnp.asarray(inputs.x),
+                    jnp.asarray(
+                        self.data.weights if weights is None else weights
+                    ),
+                    jnp.asarray(roots_p), jnp.asarray(obj_arr),
+                    jnp.asarray(self._plateau_h(weights)),
+                    jnp.asarray(self.box[0]), is_msm,
+                    portfolios=weights is not None,
+                )
+                self.last_solve_dispatches = 2
+                return np.asarray(jax.device_get(out))[:, :T]
             raise ValueError(
                 f"refine_root is not supported on engine={self.engine!r} "
-                f"at dim={self.data.dim} (the day-sharded fused engine "
-                "has no refinement kernel; use engine='pallas' or 'xla')"
+                f"at dim={self.data.dim} (the dim-3 day-sharded fused "
+                "engine has no refinement kernel; use engine='sharded' "
+                "or 'xla')"
             )
         kernel_id, aux = kern
         if weights is None:

@@ -391,6 +391,47 @@ def _full_solve_portfolios_gspmd_jit(tensors, fcombos, densities, x, dx,
     return roots, nan_days
 
 
+@functools.partial(jax.jit, static_argnames=("is_msm", "portfolios"))
+def trap_refine_gspmd_jit(tensors, fcombos, densities, x, weights, roots,
+                          obj, h, box_min, is_msm, portfolios=False):
+    """Post-hoc trapezoid refinement over day-sharded cached tensors
+    (refine_root on engine='sharded_pallas' at dim 2: the fused Mosaic
+    kernel returns staircase roots; this second GSPMD dispatch re-solves
+    them against the sharded trap sweep — sharding propagates from the
+    tensors like any bisection sweep)."""
+    from copula_var_tpu.ops.quadrature import (
+        garch_integrals_trap,
+        msm_integrals_trap,
+    )
+    from copula_var_tpu.ops.solvers import trap_bisect
+
+    if portfolios:
+        if is_msm:
+            trap_w = lambda b, w: msm_integrals_trap(
+                b, tensors, fcombos, x, densities, w, box_min
+            )
+        else:
+            trap_w = lambda b, w: garch_integrals_trap(
+                b, tensors, x, w, box_min
+            )
+        sweep = lambda b: jax.vmap(trap_w)(b, weights)
+        h2 = jnp.broadcast_to(
+            jnp.asarray(h, roots.dtype), (roots.shape[0],)
+        )[:, None]
+    else:
+        if is_msm:
+            trap = lambda b: msm_integrals_trap(
+                b, tensors, fcombos, x, densities, weights, box_min
+            )
+        else:
+            trap = lambda b: garch_integrals_trap(
+                b, tensors, x, weights, box_min
+            )
+        sweep = jax.vmap(trap)
+        h2 = jnp.asarray(h, roots.dtype)
+    return trap_bisect(sweep, roots, obj[:, None].astype(roots.dtype), h2)
+
+
 def sharded_full_solve_portfolios(mesh: Mesh, day_tensors, fcombos,
                                   densities, x, dx, weights_batch,
                                   obj_vars, first_guess, second_guess,

@@ -106,12 +106,13 @@ def test_refine_levels_and_portfolios_consistent():
     assert np.median(np.abs(ports[1] - truth)) < 3e-3
 
 
-def test_refine_unsupported_engines_raise():
-    bt = _setup("sharded_pallas", refine=True)
-    # dim-2 sharded_pallas routes through the fused kernel, which has no
-    # refinement twin on the day-sharded tensors
-    with pytest.raises(ValueError, match="refine_root"):
-        bt.calc_var(0.05)
+def test_refine_sharded_pallas_matches_xla():
+    bt_x = _setup("xla", refine=True)
+    want = bt_x.calc_var(0.05)
+    bt_sp = _setup("sharded_pallas", refine=True)
+    got = bt_sp.calc_var(0.05)
+    assert bt_sp.last_solve_dispatches == 2
+    np.testing.assert_allclose(got, want, atol=5e-4)
 
 
 def test_refine_sharded_portfolios_match_xla():

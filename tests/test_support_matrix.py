@@ -52,8 +52,19 @@ def test_unsupported_engine_dim_raises(dim, engine, match):
         bt.calc_var()
 
 
-def test_refine_root_unsupported_engines_raise():
+def test_refine_root_sharded_pallas_dim2_matches_xla():
+    """sharded_pallas dim 2 + refine_root: the fused staircase roots
+    refine in a SECOND GSPMD dispatch over the sharded tensors; the
+    trap re-solve contracts onto the same trap root as refined xla."""
+    want = _bt(2, "xla", refine=True).calc_var()
     bt = _bt(2, "sharded_pallas", refine=True)
+    got = bt.calc_var()
+    assert bt.last_solve_dispatches == 2
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_refine_root_sharded_pallas_dim3_raises():
+    bt = _bt(3, "sharded_pallas", refine=True)
     with pytest.raises(ValueError, match="refine_root"):
         bt.calc_var()
 
