@@ -1012,10 +1012,10 @@ class VaRBacktest:
     # Off by default: the unrefined root IS the reference's answer
     # (parity). Supported in-program on every f64 engine (xla cached/
     # tcached at any dim, the day-sharded GSPMD/shard_map engines, the
-    # grid-sharded engines) and post-hoc on the fused dim-2 engines
-    # (pallas: one extra xla dispatch; sharded_pallas: one extra GSPMD
-    # dispatch over the sharded tensors); only the dim-3 sharded_pallas
-    # column engine raises.
+    # grid-sharded engines) and post-hoc on the fused engines (one
+    # extra dispatch: xla for pallas, GSPMD/shard_map over the sharded
+    # caches for sharded_pallas) — EVERY engine x dim combination
+    # refines.
     refine_root: bool = False
     # Re-enable the reference's stage-2 bracket-anchor defect
     # (`calc_var_class.py:132`): the add group's tracked-CDF anchor is set
@@ -1634,11 +1634,11 @@ class VaRBacktest:
             # SPMD bisection) is ONE dispatch too
             # (`parallel/quadrature.py` full-solve programs)
             self._cached_integral_fn()
+            self.last_solve_dispatches = 1  # refine paths overwrite to 2
             roots, nanm = self._solve_sharded_fused(
                 np.asarray([obj_var], dtype=np.float64), first_guess,
                 second_guess, tolerance, min_var_value, max_var_value,
             )
-            self.last_solve_dispatches = 1
             final = np.where(nanm[0], np.nan, roots[0])
             self.solve_seconds = time.time() - t0
             return final + self.data.ptf_mean
@@ -1723,11 +1723,11 @@ class VaRBacktest:
 
         if self.engine in ("sharded", "sharded_pallas"):
             self._cached_integral_fn()
+            self.last_solve_dispatches = 1  # refine paths overwrite to 2
             roots, nanm = self._solve_sharded_fused(
                 obj_vars, first_guess, second_guess, tolerance,
                 min_var_value, max_var_value,
             )
-            self.last_solve_dispatches = 1
             final = np.where(nanm, np.nan, roots)
             self.solve_seconds = time.time() - t0
             return final + self.data.ptf_mean
@@ -1906,12 +1906,6 @@ class VaRBacktest:
         elif (self.engine == "sharded_pallas" and self.data.dim == 3):
             from copula_var_tpu.parallel import quadrature as pq
 
-            if self.refine_root:
-                raise ValueError(
-                    "refine_root is not supported on "
-                    "engine='sharded_pallas'; use engine='sharded' or "
-                    "'xla'"
-                )
             self._cached_integral_fn()
             st3 = self._sharded_dim3
             roots, nanm = pq.sharded_dim3_pallas_full_solve_levels(
@@ -1924,6 +1918,10 @@ class VaRBacktest:
                 T=self.data.out_sample_n, weights_batch=weights_batch,
             )
             roots, nanm = np.asarray(roots), np.asarray(nanm)
+            if self.refine_root:
+                roots = self._refine_sharded_dim3(
+                    roots, obj_arr, weights_batch=weights_batch
+                )
         else:
             raise ValueError(
                 f"calc_var_portfolios: unsupported engine/dim "
@@ -1993,6 +1991,52 @@ class VaRBacktest:
         )
         roots, nanm = jax.device_get((roots, nanm))
         return np.asarray(roots), np.asarray(nanm)
+
+    def _refine_sharded_dim3(self, roots, obj_arr, weights_batch=None):
+        """refine_root for the dim-3 sharded_pallas engine: a second
+        shard_map dispatch re-solves the fused kernel's staircase roots
+        against the day-sharded tcached trap sweep (transform columns
+        built once, cached on the instance)."""
+        from copula_var_tpu.ops.quadrature import _day_batch
+        from copula_var_tpu.parallel import quadrature as pq
+
+        inputs = self.integration_inputs
+        mesh = self._get_mesh()
+        st = getattr(self, "_refine_tcached_cache", None)
+        if st is None:
+            cols = self.adapter.day_columns(inputs, self.copula_spec)
+            is_msm = isinstance(inputs, MsmIntegrationInputs)
+            family = "msm" if is_msm else "garch"
+            fcombos = (
+                jnp.asarray(inputs.forecast_combos) if is_msm else None
+            )
+            densities = inputs.densities if is_msm else None
+            cols_s, fcombos_s, Tp = pq._tcached_place(
+                mesh, cols, fcombos, family, self.data.out_sample_n
+            )
+            n = int(np.asarray(inputs.x).shape[0])
+            day_batch = _day_batch(
+                n, self.data.dim, Tp // mesh.shape["days"]
+            )
+            st = dict(cols_s=cols_s, fcombos_s=fcombos_s,
+                      densities=densities, family=family,
+                      day_batch=day_batch)
+            self._refine_tcached_cache = st
+        w = (
+            self.data.weights if weights_batch is None else weights_batch
+        )
+        out = pq.sharded_tcached_trap_refine(
+            mesh, st["cols_s"], st["fcombos_s"], st["densities"],
+            inputs.x, inputs.dx, jnp.asarray(w), jnp.asarray(roots),
+            jnp.asarray(obj_arr),
+            jnp.asarray(self._plateau_h(weights_batch)),
+            spec=self.copula_spec, family=st["family"],
+            day_batch=st["day_batch"], box_min=self.box[0],
+            T=self.data.out_sample_n,
+            portfolios=weights_batch is not None,
+        )
+        self.last_solve_dispatches = 2
+        return np.asarray(out)
 
     def _refine_fused(self, roots, obj_arr, weights=None):
         """Post-hoc trapezoid refinement for the fused Pallas engine: one
@@ -2108,12 +2152,6 @@ class VaRBacktest:
         in the same program. Returns (roots (L, T), nan_days (L, T))."""
         from copula_var_tpu.parallel import quadrature as pq
 
-        if self.refine_root and self.engine != "sharded":
-            raise ValueError(
-                "refine_root is not supported on engine='sharded_pallas' "
-                "(the fused Mosaic kernel has no trap twin); use "
-                "engine='sharded' (f64) or 'pallas'"
-            )
         refine = bool(self.refine_root)
         rh = float(self._plateau_h()) if refine else 0.0
 
@@ -2133,6 +2171,13 @@ class VaRBacktest:
                 family=st3["family"], kind=st3["kind"],
                 interpret=st3["interpret"], T=T, **common,
             )
+            if refine:
+                # the fused dim-3 column kernel has no trap twin: refine
+                # in a SECOND shard_map dispatch over day-sharded
+                # transform columns (built lazily, cached on self)
+                roots = self._refine_sharded_dim3(
+                    np.asarray(roots), obj_vars
+                )
             return np.asarray(roots), np.asarray(nanm)
         stt = getattr(self, "_sharded_tcached", None)
         if stt is not None:

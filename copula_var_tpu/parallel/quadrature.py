@@ -1607,6 +1607,73 @@ def _tcached_full_program(mesh, family, kind, day_batch, box_min, quirks,
     ))
 
 
+@functools.lru_cache(maxsize=32)
+def _tcached_trap_program(mesh, family, kind, day_batch, box_min,
+                          portfolios=False):
+    """Standalone shard_map trap re-solve over day-sharded transform
+    columns (refine_root for the dim-3 sharded_pallas engine, whose
+    fused column kernel has no trap twin: the staircase roots from the
+    Mosaic solve refine in this SECOND dispatch)."""
+    from copula_var_tpu.ops.solvers import trap_bisect
+
+    def local(cols, fcombos, densities, x, dx, weights, params, roots,
+              obj, h):
+        if portfolios:
+            def trap_w(b, w):
+                return _tcached_trap_fn(
+                    family, kind, day_batch, box_min, cols, fcombos,
+                    densities, x, w, params,
+                )(b)
+
+            return trap_bisect(
+                lambda b: jax.vmap(trap_w)(b, weights), roots,
+                obj[:, None].astype(roots.dtype),
+                jnp.broadcast_to(
+                    jnp.asarray(h, roots.dtype), (roots.shape[0],)
+                )[:, None],
+            )
+        trap = _tcached_trap_fn(family, kind, day_batch, box_min, cols,
+                                fcombos, densities, x, weights, params)
+        return trap_bisect(
+            jax.vmap(trap), roots, obj[:, None].astype(roots.dtype),
+            jnp.asarray(h, roots.dtype),
+        )
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P("days"), P("days"), P(), P(), P(), P(), P(),
+                  P(None, "days"), P(), P()),
+        out_specs=P(None, "days"),
+        check_vma=False,
+    ))
+
+
+def sharded_tcached_trap_refine(mesh, cols_s, fcombos_s, densities, x, dx,
+                                weights, roots, obj_vars, refine_h,
+                                spec: CopulaSpec, family, day_batch,
+                                box_min=-5.0, T=None, portfolios=False):
+    """Refine (L, T) staircase roots against the day-sharded tcached trap
+    sweep. `roots` arrives unpadded; padding mirrors the last real day."""
+    from copula_var_tpu.parallel.multiprocess import fetch
+
+    roots = jnp.asarray(roots)
+    if T is None:
+        T = roots.shape[1]
+    Tp = fcombos_s.shape[0]
+    if Tp > T:
+        roots = jnp.concatenate(
+            [roots, jnp.repeat(roots[:, -1:], Tp - T, axis=1)], axis=1
+        )
+    dens = jnp.zeros(()) if densities is None else jnp.asarray(densities)
+    f = _tcached_trap_program(mesh, family, spec.kind, int(day_batch),
+                              float(box_min), bool(portfolios))
+    out = f(cols_s, fcombos_s, dens, jnp.asarray(x), jnp.asarray(dx),
+            jnp.asarray(weights), spec.params,
+            roots, jnp.atleast_1d(jnp.asarray(obj_vars)),
+            jnp.asarray(refine_h))
+    return fetch(out)[:, :T]
+
+
 def sharded_tcached_full_solve_levels(
     mesh, cols_s, fcombos_s, densities, x, dx, weights, obj_vars,
     first_guess, second_guess, tolerance, min_var_value, max_var_value,

@@ -63,10 +63,17 @@ def test_refine_root_sharded_pallas_dim2_matches_xla():
     np.testing.assert_allclose(got, want, atol=5e-4)
 
 
-def test_refine_root_sharded_pallas_dim3_raises():
+def test_refine_root_sharded_pallas_dim3_matches_xla():
+    """dim-3 sharded_pallas + refine_root: the fused column kernel's
+    staircase roots refine in a second shard_map dispatch over
+    day-sharded transform columns — lands on the refined xla trap root
+    (staircase start differs by the f32 plateau, the trap re-solve
+    contracts both)."""
+    want = _bt(3, "xla", refine=True).calc_var()
     bt = _bt(3, "sharded_pallas", refine=True)
-    with pytest.raises(ValueError, match="refine_root"):
-        bt.calc_var()
+    got = bt.calc_var()
+    assert bt.last_solve_dispatches == 2
+    np.testing.assert_allclose(got, want, atol=5e-4)
 
 
 def test_refine_root_grid_sharded_matches_xla():
