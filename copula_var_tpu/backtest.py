@@ -1276,29 +1276,16 @@ class VaRBacktest:
         T = self.data.out_sample_n
         is_msm = isinstance(inputs, MsmIntegrationInputs)
         if self.engine == "sharded" and hasattr(self.adapter, "day_columns"):
-            from copula_var_tpu.ops.quadrature import _day_batch
             from copula_var_tpu.parallel.quadrature import (
-                _tcached_place,
                 sharded_tcached_integrals,
             )
 
-            cols = self.adapter.day_columns(inputs, self.copula_spec)
-            family = "msm" if is_msm else "garch"
-            fcombos = (
-                jnp.asarray(inputs.forecast_combos) if is_msm else None
-            )
-            densities = inputs.densities if is_msm else None
-            cols_s, fcombos_s, Tp = _tcached_place(
-                mesh, cols, fcombos, family, T
-            )
-            n = int(np.asarray(inputs.x).shape[0])
-            day_batch = _day_batch(
-                n, self.data.dim, Tp // mesh.shape["days"]
-            )
-            self._sharded_tcached = dict(
-                cols_s=cols_s, fcombos_s=fcombos_s, densities=densities,
-                day_batch=day_batch, family=family,
-            )
+            self._sharded_tcached = self._build_tcached_state()
+            cols_s = self._sharded_tcached["cols_s"]
+            fcombos_s = self._sharded_tcached["fcombos_s"]
+            densities = self._sharded_tcached["densities"]
+            day_batch = self._sharded_tcached["day_batch"]
+            family = self._sharded_tcached["family"]
             spec = self.copula_spec
 
             def fn(bounds):
@@ -1620,11 +1607,11 @@ class VaRBacktest:
             self._cached_integral_fn()
             kern = getattr(self, "_integral_kernel", None)
             if kern is not None:
+                self.last_solve_dispatches = 1  # refine paths set 2
                 roots, nanm = self._solve_device_fused(
                     np.asarray([obj_var], dtype=np.float64), first_guess,
                     second_guess, tolerance, min_var_value, max_var_value,
                 )
-                self.last_solve_dispatches = 1
                 final = np.where(nanm[0], np.nan, roots[0])
                 self.solve_seconds = time.time() - t0
                 return final + self.data.ptf_mean
@@ -1712,11 +1699,11 @@ class VaRBacktest:
         if self.engine not in ("sharded", "sharded_pallas"):
             self._cached_integral_fn()
             if getattr(self, "_integral_kernel", None) is not None:
+                self.last_solve_dispatches = 1  # refine paths set 2
                 roots, nanm = self._solve_device_fused(
                     obj_vars, first_guess, second_guess, tolerance,
                     min_var_value, max_var_value,
                 )
-                self.last_solve_dispatches = 1
                 final = np.where(nanm, np.nan, roots)
                 self.solve_seconds = time.time() - t0
                 return final + self.data.ptf_mean
@@ -1836,6 +1823,9 @@ class VaRBacktest:
             kernel_id, aux = kern
             if self.refine_root:
                 self._check_refine_supported()
+            in_program = (
+                bool(self.refine_root) and kernel_id[0] != "dim3_pallas"
+            )
             cfg = np.array(
                 [first_guess, second_guess[0], second_guess[1],
                  min_var_value, max_var_value], dtype=np.float64,
@@ -1844,12 +1834,16 @@ class VaRBacktest:
                 kernel_id, aux, jnp.asarray(obj_arr),
                 jnp.asarray(weights_batch), jnp.asarray(cfg), tolerance,
                 self.data.out_sample_n, bool(self.reference_quirks),
-                refine=bool(self.refine_root),
+                refine=in_program,
                 h=jnp.asarray(self._plateau_h(weights_batch))
-                if self.refine_root else 0.0,
+                if in_program else 0.0,
             )
             roots, nanm = jax.device_get((roots, nanm))
             roots, nanm = np.asarray(roots), np.asarray(nanm)
+            if self.refine_root and not in_program:
+                roots = self._refine_dim3_pallas(
+                    roots, obj_arr, weights_batch=weights_batch
+                )
         elif self.engine == "sharded" and self.data.dim == 2:
             # day-sharded GSPMD portfolio batch: one dispatch against
             # the shared sharded day tensors
@@ -1945,12 +1939,16 @@ class VaRBacktest:
 
     def _check_refine_supported(self):
         kern = getattr(self, "_integral_kernel", None)
-        if kern is None or kern[0][0] not in _TRAP_KERNELS:
+        ok = kern is not None and (
+            kern[0][0] in _TRAP_KERNELS or kern[0][0] == "dim3_pallas"
+        )
+        if not ok:
             raise ValueError(
                 f"refine_root is not supported on engine="
-                f"{self.engine!r} at dim={self.data.dim} (needs a "
-                "recognized stable integral kernel with a trapezoid "
-                "twin; custom plugin adapters without one cannot refine)"
+                f"{self.engine!r} at dim={self.data.dim}: every built-in "
+                "engine refines, but this configuration has no "
+                "recognized stable integral kernel (a custom plugin "
+                "adapter without a trapezoid twin cannot refine)"
             )
 
     def calc_var_grid(self, weights_batch, obj_vars, **kw):
@@ -1980,6 +1978,10 @@ class VaRBacktest:
         kernel_id, aux = self._integral_kernel
         if self.refine_root:
             self._check_refine_supported()
+        # the dim-3 pallas column kernel has no in-program trap twin:
+        # refine POST-HOC against the xla tcached trap (one extra
+        # dispatch), like the fused dim-2 engines
+        in_program = bool(self.refine_root) and kernel_id[0] != "dim3_pallas"
         cfg = np.array(
             [first_guess, second_guess[0], second_guess[1], min_var_value,
              max_var_value], dtype=np.float64,
@@ -1987,10 +1989,83 @@ class VaRBacktest:
         roots, nanm = _device_full_solve_levels_jit(
             kernel_id, aux, jnp.asarray(obj_vars), jnp.asarray(cfg),
             tolerance, self.data.out_sample_n, bool(self.reference_quirks),
-            refine=bool(self.refine_root), h=float(self._plateau_h()),
+            refine=in_program,
+            h=float(self._plateau_h()) if in_program else 0.0,
         )
         roots, nanm = jax.device_get((roots, nanm))
-        return np.asarray(roots), np.asarray(nanm)
+        roots, nanm = np.asarray(roots), np.asarray(nanm)
+        if self.refine_root and not in_program:
+            roots = self._refine_dim3_pallas(roots, obj_vars)
+        return roots, nanm
+
+    def _build_tcached_state(self):
+        """Day-sharded transform-column state (placed cols + combos +
+        chunking) shared by engine='sharded' at dim >= 3 and the
+        sharded_pallas dim-3 refine pass — ONE copy of the placement
+        logic."""
+        from copula_var_tpu.ops.quadrature import _day_batch
+        from copula_var_tpu.parallel.quadrature import _tcached_place
+
+        inputs = self.integration_inputs
+        mesh = self._get_mesh()
+        cols = self.adapter.day_columns(inputs, self.copula_spec)
+        is_msm = isinstance(inputs, MsmIntegrationInputs)
+        family = "msm" if is_msm else "garch"
+        fcombos = jnp.asarray(inputs.forecast_combos) if is_msm else None
+        densities = inputs.densities if is_msm else None
+        cols_s, fcombos_s, Tp = _tcached_place(
+            mesh, cols, fcombos, family, self.data.out_sample_n
+        )
+        n = int(np.asarray(inputs.x).shape[0])
+        day_batch = _day_batch(n, self.data.dim, Tp // mesh.shape["days"])
+        return dict(cols_s=cols_s, fcombos_s=fcombos_s,
+                    densities=densities, day_batch=day_batch,
+                    family=family)
+
+    def _refine_dim3_pallas(self, roots, obj_arr, weights_batch=None):
+        """refine_root for the single-chip dim-3 pallas column engine:
+        one extra dispatch of the xla tcached trap twin over lazily
+        built transform columns (cached on the instance)."""
+        from copula_var_tpu.ops.quadrature import _day_batch
+
+        kern = getattr(self, "_refine_tcached_kernel", None)
+        if kern is None:
+            inputs = self.integration_inputs
+            spec = self.copula_spec
+            cols = self.adapter.day_columns(inputs, spec)
+            n = int(np.asarray(inputs.x).shape[0])
+            day_batch = _day_batch(n, self.data.dim,
+                                   self.data.out_sample_n)
+            w = jnp.asarray(self.data.weights)
+            if isinstance(inputs, MsmIntegrationInputs):
+                kern = (
+                    ("msm_tcached", spec.kind, day_batch),
+                    (cols, jnp.asarray(inputs.forecast_combos), inputs.x,
+                     inputs.dx, inputs.densities, w, spec.params,
+                     self.box[0]),
+                )
+            else:
+                tcols, p_cols = cols
+                kern = (
+                    ("garch_tcached", spec.kind, day_batch),
+                    (tcols, p_cols, inputs.x, inputs.dx, w, spec.params,
+                     self.box[0]),
+                )
+            self._refine_tcached_kernel = kern
+        kernel_id, aux = kern
+        if weights_batch is None:
+            out = _trap_refine_levels_jit(
+                kernel_id, aux, jnp.asarray(roots), jnp.asarray(obj_arr),
+                float(self._plateau_h()),
+            )
+        else:
+            out = _trap_refine_portfolios_jit(
+                kernel_id, aux, jnp.asarray(roots), jnp.asarray(obj_arr),
+                jnp.asarray(weights_batch),
+                jnp.asarray(self._plateau_h(weights_batch)),
+            )
+        self.last_solve_dispatches = 2
+        return np.asarray(jax.device_get(out))
 
     def _refine_sharded_dim3(self, roots, obj_arr, weights_batch=None):
         """refine_root for the dim-3 sharded_pallas engine: a second
@@ -2004,30 +2079,14 @@ class VaRBacktest:
         mesh = self._get_mesh()
         st = getattr(self, "_refine_tcached_cache", None)
         if st is None:
-            cols = self.adapter.day_columns(inputs, self.copula_spec)
-            is_msm = isinstance(inputs, MsmIntegrationInputs)
-            family = "msm" if is_msm else "garch"
-            fcombos = (
-                jnp.asarray(inputs.forecast_combos) if is_msm else None
-            )
-            densities = inputs.densities if is_msm else None
-            cols_s, fcombos_s, Tp = pq._tcached_place(
-                mesh, cols, fcombos, family, self.data.out_sample_n
-            )
-            n = int(np.asarray(inputs.x).shape[0])
-            day_batch = _day_batch(
-                n, self.data.dim, Tp // mesh.shape["days"]
-            )
-            st = dict(cols_s=cols_s, fcombos_s=fcombos_s,
-                      densities=densities, family=family,
-                      day_batch=day_batch)
+            st = self._build_tcached_state()
             self._refine_tcached_cache = st
         w = (
             self.data.weights if weights_batch is None else weights_batch
         )
         out = pq.sharded_tcached_trap_refine(
             mesh, st["cols_s"], st["fcombos_s"], st["densities"],
-            inputs.x, inputs.dx, jnp.asarray(w), jnp.asarray(roots),
+            inputs.x, jnp.asarray(w), jnp.asarray(roots),
             jnp.asarray(obj_arr),
             jnp.asarray(self._plateau_h(weights_batch)),
             spec=self.copula_spec, family=st["family"],
@@ -2078,11 +2137,9 @@ class VaRBacktest:
                 )
                 self.last_solve_dispatches = 2
                 return np.asarray(jax.device_get(out))[:, :T]
-            raise ValueError(
-                f"refine_root is not supported on engine={self.engine!r} "
-                f"at dim={self.data.dim} (the dim-3 day-sharded fused "
-                "engine has no refinement kernel; use engine='sharded' "
-                "or 'xla')"
+            raise ValueError(  # unreachable for built-in engines
+                f"refine_root: no refinement kernel registered for "
+                f"engine={self.engine!r} at dim={self.data.dim}"
             )
         kernel_id, aux = kern
         if weights is None:

@@ -686,30 +686,46 @@ def trap_weights(x):
     ])
 
 
-def halfspace_frac(x, tw, lower, upper, weights, box_min=BOX_MIN):
-    """Fractional-cell analog of `halfspace_mask`: the inner-dimension
-    boundary node is included in proportion to how much of its owned cell
+def halfspace_frac_cols(x_cols, tw_inner, lower, upper, weights,
+                        box_min=BOX_MIN):
+    """Fractional-cell analog of `halfspace_mask_cols` (RAGGED per-dim
+    coordinate vectors): the inner-dimension boundary node is included in
+    proportion to how much of its owned cell
     [x_k - tw_k/2, x_k + tw_k/2] lies inside {lower < w.x <= upper}.
-    Returns a float array of shape (n,) * dim (continuous in the
-    bounds — the staircase becomes piecewise-linear)."""
+    Returns a float array (n_0, ..., n_{dim-1}), continuous in the
+    bounds. The single copy of the boundary-fraction math — the fixed-
+    length `halfspace_frac` and every grid-sharded trap sweep delegate
+    here."""
     weights = jnp.asarray(weights)
     dim = weights.shape[0]
-    n = x.shape[0]
+    lens = [c.shape[0] for c in x_cols]
     if dim == 1:
         prev = jnp.zeros(())
     else:
         prev = jnp.zeros((1,) * (dim - 1))
         for d in range(dim - 1):
             shape = [1] * (dim - 1)
-            shape[d] = n
-            prev = prev + x.reshape(shape) * weights[1 + d]
+            shape[d] = lens[d]
+            prev = prev + x_cols[d].reshape(shape) * weights[1 + d]
     dyn_upper = (upper - prev) / weights[0]
     dyn_lower = jnp.maximum((lower - prev) / weights[0], box_min)
-    cell_lo = (x - tw / 2.0).reshape((1,) * (dim - 1) + (n,))
-    tws = tw.reshape((1,) * (dim - 1) + (n,))
+    x_in = x_cols[-1]
+    cell_lo = (x_in - tw_inner / 2.0).reshape(
+        (1,) * (dim - 1) + (lens[-1],)
+    )
+    tws = tw_inner.reshape((1,) * (dim - 1) + (lens[-1],))
     a_up = jnp.clip((dyn_upper[..., None] - cell_lo) / tws, 0.0, 1.0)
     a_lo = jnp.clip((dyn_lower[..., None] - cell_lo) / tws, 0.0, 1.0)
     return jnp.maximum(a_up - a_lo, 0.0)
+
+
+def halfspace_frac(x, tw, lower, upper, weights, box_min=BOX_MIN):
+    """Fractional-cell analog of `halfspace_mask` (shared 1-D grid on
+    every dim). Thin adapter over `halfspace_frac_cols`."""
+    weights = jnp.asarray(weights)
+    dim = weights.shape[0]
+    return halfspace_frac_cols([x] * dim, tw, lower, upper, weights,
+                               box_min)
 
 
 def msm_integrals_trap(bounds, C, forecast_combos, x, densities, weights,

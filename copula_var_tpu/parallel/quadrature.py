@@ -833,17 +833,6 @@ def _transform_columns(u, spec: CopulaSpec):
     return transform_u_columns(u, spec)
 
 
-def _inner_frac(dyn_up, dyn_lo, x, tw):
-    """Fractional inclusion of the inner dimension's owned cells
-    [x_k - tw_k/2, x_k + tw_k/2] in (dyn_lo, dyn_up] — the chunked
-    in-line form of `ops/quadrature.halfspace_frac`'s inner cut."""
-    cell_lo = (x - tw / 2.0)[None, :]
-    tws = tw[None, :]
-    a_up = jnp.clip((dyn_up[:, None] - cell_lo) / tws, 0.0, 1.0)
-    a_lo = jnp.clip((dyn_lo[:, None] - cell_lo) / tws, 0.0, 1.0)
-    return jnp.maximum(a_up - a_lo, 0.0)
-
-
 def _trap_scale(x):
     """tw / dx: converts dx-scaled contraction rows (the staircase
     sweeps' precomputed w0/w1) to trapezoid-weighted rows without
@@ -853,7 +842,8 @@ def _trap_scale(x):
     x = jnp.asarray(x)
     dx = jnp.diff(x, prepend=x[:1])
     dx = dx.at[0].set(dx[1])
-    return trap_weights(x), trap_weights(x) / dx
+    tw = trap_weights(x)
+    return tw, tw / dx
 
 
 def grid_sharded_msm_trap_sweep(mesh, bounds, t0, t1, w0, w1, fcombos, x,
@@ -874,12 +864,11 @@ def grid_sharded_msm_trap_sweep(mesh, bounds, t0, t1, w0, w1, fcombos, x,
 
     def shard_fn(b, t0_chunk, t1_full, x0_chunk, w0_chunk, fc):
         def partial_day(bi, c0, c1, fci):
+            from copula_var_tpu.ops.quadrature import halfspace_frac_cols
+
             C = _chunk_copula_from_transformed(c0, c1, spec)
-            dyn_up = (bi[1] - x0_chunk * weights[1]) / weights[0]
-            dyn_lo = jnp.maximum(
-                (bi[0] - x0_chunk * weights[1]) / weights[0], box_min
-            )
-            A = _inner_frac(dyn_up, dyn_lo, x, tw)
+            A = halfspace_frac_cols([x0_chunk, x], tw, bi[0], bi[1],
+                                    weights, box_min)
             V = jnp.where(A > 0.0, C, 0.0) * A
             S_part = w0_chunk @ V @ w1t.T
             S = jax.lax.psum(S_part, grid_axis)
@@ -913,13 +902,12 @@ def grid_sharded_garch_trap_sweep(mesh, bounds, t0, p0, t1, p1, x,
     def shard_fn(b, t0_chunk, p0_chunk, t1_full, p1_full, x0_chunk,
                  tw0_chunk):
         def partial_day(bi, c0, pc0, c1, pc1):
+            from copula_var_tpu.ops.quadrature import halfspace_frac_cols
+
             C = _chunk_copula_from_transformed(c0, c1, spec)
             V = jnp.nan_to_num(C * (pc0[:, None] * pc1[None, :]))
-            dyn_up = (bi[1] - x0_chunk * weights[1]) / weights[0]
-            dyn_lo = jnp.maximum(
-                (bi[0] - x0_chunk * weights[1]) / weights[0], box_min
-            )
-            A = _inner_frac(dyn_up, dyn_lo, x, tw)
+            A = halfspace_frac_cols([x0_chunk, x], tw, bi[0], bi[1],
+                                    weights, box_min)
             V = jnp.where(A > 0.0, V, 0.0) * A
             return jnp.einsum("i,ij,j->", tw0_chunk, V, tw)
 
@@ -974,26 +962,16 @@ def grid_sharded_tcached_trap_sweep(mesh, bounds, cols0, cols_rest, p0,
             col_list = [c0_i] + [
                 tuple(l[d - 1] for l in cr_i) for d in range(1, dim)
             ]
+            from copula_var_tpu.ops.quadrature import (
+                halfspace_frac_cols,
+            )
+
             C = copula_density_cols(col_list, spec)
-            # outer prev over dims 0..dim-2 (dim 0 chunked)
             lens = [x0_chunk.shape[0]] + [x.shape[0]] * (dim - 1)
-            prev = jnp.zeros((1,) * (dim - 1))
-            outer_cols = [x0_chunk] + [x] * (dim - 2)
-            for d in range(dim - 1):
-                shape = [1] * (dim - 1)
-                shape[d] = lens[d]
-                prev = prev + outer_cols[d].reshape(shape) * weights[1 + d]
-            dyn_up = (b_i[1] - prev) / weights[0]
-            dyn_lo = jnp.maximum((b_i[0] - prev) / weights[0], box_min)
-            cell_lo = (x - tw / 2.0).reshape((1,) * (dim - 1) + (-1,))
-            tws = tw.reshape((1,) * (dim - 1) + (-1,))
-            a_up = jnp.clip(
-                (dyn_up[..., None] - cell_lo) / tws, 0.0, 1.0
+            A = halfspace_frac_cols(
+                [x0_chunk] + [x] * (dim - 1), tw, b_i[0], b_i[1],
+                weights, box_min,
             )
-            a_lo = jnp.clip(
-                (dyn_lo[..., None] - cell_lo) / tws, 0.0, 1.0
-            )
-            A = jnp.maximum(a_up - a_lo, 0.0)
             if is_msm:
                 V = jnp.where(A > 0.0, C, 0.0) * A
                 w_cols = [w0_chunk] + w_rest
@@ -1616,7 +1594,7 @@ def _tcached_trap_program(mesh, family, kind, day_batch, box_min,
     Mosaic solve refine in this SECOND dispatch)."""
     from copula_var_tpu.ops.solvers import trap_bisect
 
-    def local(cols, fcombos, densities, x, dx, weights, params, roots,
+    def local(cols, fcombos, densities, x, weights, params, roots,
               obj, h):
         if portfolios:
             def trap_w(b, w):
@@ -1641,14 +1619,14 @@ def _tcached_trap_program(mesh, family, kind, day_batch, box_min,
 
     return jax.jit(jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P("days"), P("days"), P(), P(), P(), P(), P(),
+        in_specs=(P("days"), P("days"), P(), P(), P(), P(),
                   P(None, "days"), P(), P()),
         out_specs=P(None, "days"),
         check_vma=False,
     ))
 
 
-def sharded_tcached_trap_refine(mesh, cols_s, fcombos_s, densities, x, dx,
+def sharded_tcached_trap_refine(mesh, cols_s, fcombos_s, densities, x,
                                 weights, roots, obj_vars, refine_h,
                                 spec: CopulaSpec, family, day_batch,
                                 box_min=-5.0, T=None, portfolios=False):
@@ -1667,7 +1645,7 @@ def sharded_tcached_trap_refine(mesh, cols_s, fcombos_s, densities, x, dx,
     dens = jnp.zeros(()) if densities is None else jnp.asarray(densities)
     f = _tcached_trap_program(mesh, family, spec.kind, int(day_batch),
                               float(box_min), bool(portfolios))
-    out = f(cols_s, fcombos_s, dens, jnp.asarray(x), jnp.asarray(dx),
+    out = f(cols_s, fcombos_s, dens, jnp.asarray(x),
             jnp.asarray(weights), spec.params,
             roots, jnp.atleast_1d(jnp.asarray(obj_vars)),
             jnp.asarray(refine_h))

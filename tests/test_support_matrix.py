@@ -164,3 +164,20 @@ def test_refine_root_grid_sharded_msm_student():
     want = bt("xla").calc_var()
     got = bt("grid_sharded").calc_var()
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_refine_root_pallas_dim3_matches_xla():
+    """Single-chip pallas dim 3 + refine_root: the fused column kernel's
+    staircase roots refine post-hoc against the xla tcached trap twin
+    (one extra dispatch) — closing the last unsupported cell the docs
+    claimed was covered (review finding r05 #2)."""
+    want = _bt(3, "xla", refine=True).calc_var()
+    bt = _bt(3, "pallas", refine=True)
+    got = bt.calc_var()
+    assert bt.last_solve_dispatches == 2
+    np.testing.assert_allclose(got, want, atol=5e-4)
+    # portfolio rows refine with their own weights
+    wb = np.array([[1 / 3, 1 / 3, 1 / 3], [0.2, 0.3, 0.5]])
+    want_p = _bt(3, "xla", refine=True).calc_var_portfolios(wb)
+    got_p = bt.calc_var_portfolios(wb)
+    np.testing.assert_allclose(got_p, want_p, atol=5e-4)
